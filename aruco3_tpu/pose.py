@@ -1,0 +1,419 @@
+"""IPPE (Infinitesimal Plane-based Pose Estimation) — batched, TPU-native.
+
+Recovers the two physically plausible 6-DoF poses of a square fiducial from
+its four image corners.  Capability parity with reference src/pose.rs:
+
+  * ``MarkerPose`` {error, rotation, translation} with OpenCV chirality
+    (right-handed, +Z forward, +Y down, +X right) and the transform /
+    inverse-transform helpers (pose.rs:8-50),
+  * ``solve_with_intrinsics`` (pose.rs:52-55),
+  * ``solve_with_undistorted_points`` — per-axis normalization by image
+    dims, aspect ratio knowingly ignored (pose.rs:59-62),
+  * ``solve_with_normalized_points`` — poses ordered by reprojection error
+    (pose.rs:64-81).
+
+Design differences from the reference (TPU-first, not a translation):
+  * Everything is expressed as batched ``jnp`` linear algebra over an
+    arbitrary leading marker axis; the scalar API is a thin wrapper over the
+    batch path.
+  * The square->image homography is solved as a batched 8x8 DLT system
+    (``jnp.linalg.solve``) instead of a hand-expanded cofactor polynomial
+    (pose.rs:96-123); results agree to the golden C++ IPPE vectors.
+  * The translation least-squares uses an explicit 3x3 normal-equation solve
+    rather than unrolled cofactors (pose.rs:269-335).
+
+Golden-value parity is pinned by tests/test_pose.py, which carries the C++
+IPPE-derived expected rotations/translations from pose.rs:457-598.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .camera import CameraIntrinsics
+
+_DEGENERATE_EPS = 1e-6  # find_rotation_to_z stability guard (pose.rs:245)
+_Z_CLAMP = 1e-5  # reprojection z clamp (pose.rs:342-343)
+
+# All geometry matmuls are tiny (3x3 / 8x8); on TPU the default matmul
+# precision is bfloat16, which is far too coarse for pose recovery.  Every
+# dot in this module goes through _mm with full float32 precision.
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.matmul(
+        a, b, precision=_HIGHEST, preferred_element_type=jnp.float32
+    )
+
+
+@struct.dataclass
+class MarkerPose:
+    """Rigid transform placing a canonical marker into the camera frame.
+
+    OpenCV chirality: right-handed, +Z forward, +Y down, +X right
+    (reference pose.rs:5-6).  Works as a JAX pytree, so it can carry either
+    a single pose (rotation (3,3)) or a batch (rotation (..., 3, 3)).
+    """
+
+    error: jnp.ndarray
+    rotation: jnp.ndarray
+    translation: jnp.ndarray
+
+    @staticmethod
+    def default() -> "MarkerPose":
+        """Identity pose with sentinel error 1e31 (reference pose.rs:42-50)."""
+        return MarkerPose(
+            error=jnp.asarray(1e31, dtype=jnp.float32),
+            rotation=jnp.eye(3, dtype=jnp.float32),
+            translation=jnp.zeros(3, dtype=jnp.float32),
+        )
+
+    # point helpers (reference pose.rs:14-39) ------------------------------
+    def apply_transform_to_points(self, points):
+        """R @ p + t for a list/array of 3-D points."""
+        pts = jnp.asarray(points, dtype=self.rotation.dtype)
+        return _mm(pts, jnp.swapaxes(self.rotation, -1, -2)) + self.translation[
+            ..., None, :
+        ]
+
+    def apply_transform_to_vectors(self, vectors):
+        return self.apply_transform_to_points(vectors)
+
+    def apply_inverse_transform_to_points(self, points):
+        """R^T @ (p - t)."""
+        pts = jnp.asarray(points, dtype=self.rotation.dtype)
+        return _mm(pts - self.translation[..., None, :], self.rotation)
+
+    def apply_inverse_transform_to_vectors(self, vectors):
+        return self.apply_inverse_transform_to_points(vectors)
+
+
+def make_marker_square(marker_size_mm) -> jnp.ndarray:
+    """Canonical object points: (4, 3), clockwise from top-left at z=0,
+    +Y up / +X right (reference pose.rs:83-93)."""
+    hw = 0.5 * jnp.asarray(marker_size_mm, dtype=jnp.float32)
+    zeros = jnp.zeros_like(hw)
+    return jnp.stack(
+        [
+            jnp.stack([-hw, hw, zeros], axis=-1),
+            jnp.stack([hw, hw, zeros], axis=-1),
+            jnp.stack([hw, -hw, zeros], axis=-1),
+            jnp.stack([-hw, -hw, zeros], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def compute_homography_from_marker_square(
+    marker_size_mm, target_points: jnp.ndarray
+) -> jnp.ndarray:
+    """Homography mapping the canonical square to 4 image points.
+
+    target_points: (..., 4, 2) normalized image points.
+    Returns (..., 3, 3) with H[2,2] = 1.
+
+    Solved as a batched 8x8 DLT linear system (cf. the expanded closed form
+    at reference pose.rs:96-123 — same math, solver-based).
+    """
+    tp = jnp.asarray(target_points, dtype=jnp.float32)
+    hw = 0.5 * jnp.asarray(marker_size_mm, dtype=jnp.float32)
+    batch = tp.shape[:-2]
+    hw = jnp.broadcast_to(hw, batch)
+
+    # Canonical square corners (x_i, y_i), clockwise from top-left.
+    sx = jnp.stack([-hw, hw, hw, -hw], axis=-1)  # (..., 4)
+    sy = jnp.stack([hw, hw, -hw, -hw], axis=-1)
+    u = tp[..., 0]
+    v = tp[..., 1]
+
+    zeros = jnp.zeros_like(sx)
+    ones = jnp.ones_like(sx)
+    # Row pairs per correspondence:
+    #   [x y 1 0 0 0 -u*x -u*y] h = u
+    #   [0 0 0 x y 1 -v*x -v*y] h = v
+    rows_u = jnp.stack(
+        [sx, sy, ones, zeros, zeros, zeros, -u * sx, -u * sy], axis=-1
+    )  # (..., 4, 8)
+    rows_v = jnp.stack(
+        [zeros, zeros, zeros, sx, sy, ones, -v * sx, -v * sy], axis=-1
+    )
+    A = jnp.concatenate([rows_u, rows_v], axis=-2)  # (..., 8, 8)
+    b = jnp.concatenate([u, v], axis=-1)[..., None]  # (..., 8, 1)
+    h = jnp.linalg.solve(A, b)[..., 0]  # (..., 8)
+    H = jnp.concatenate([h, jnp.ones(batch + (1,), dtype=h.dtype)], axis=-1)
+    return H.reshape(batch + (3, 3))
+
+
+def find_rotation_to_z(vec: jnp.ndarray) -> jnp.ndarray:
+    """Rotation aligning ``vec`` with +Z; batched over leading axes
+    (reference pose.rs:237-267, incl. the |1+az| < 1e-6 degenerate branch)."""
+    v = jnp.asarray(vec, dtype=jnp.float32)
+    v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    ax, ay, az = v[..., 0], v[..., 1], v[..., 2]
+
+    degenerate = jnp.abs(1.0 + az) < _DEGENERATE_EPS
+    d = 1.0 / jnp.where(degenerate, 1.0, 1.0 + az)
+    ax2, ay2, axay = ax * ax, ay * ay, ax * ay
+
+    r = jnp.stack(
+        [
+            -ax2 * d + 1.0,
+            -axay * d,
+            -ax,
+            -axay * d,
+            -ay2 * d + 1.0,
+            -ay,
+            ax,
+            ay,
+            1.0 - (ax2 + ay2) * d,
+        ],
+        axis=-1,
+    ).reshape(v.shape[:-1] + (3, 3))
+
+    flip = jnp.broadcast_to(
+        jnp.diag(jnp.array([1.0, 1.0, -1.0], dtype=v.dtype)), r.shape
+    )
+    return jnp.where(degenerate[..., None, None], flip, r)
+
+
+def compute_rotations(jacobian: jnp.ndarray, translation2: jnp.ndarray):
+    """The two IPPE rotation candidates (reference pose.rs:158-235).
+
+    jacobian: (..., 2, 2) — dH at the marker origin.
+    translation2: (..., 2) — (tx, ty) of the origin projection.
+    Returns (R1, R2): each (..., 3, 3).
+    """
+    tx, ty = translation2[..., 0], translation2[..., 1]
+    t3 = jnp.stack([tx, ty, jnp.ones_like(tx)], axis=-1)
+    rv = jnp.swapaxes(find_rotation_to_z(t3), -1, -2)
+
+    # B = rv[:2, :2] - t2 (outer) rv[2, :2]
+    b = rv[..., :2, :2] - translation2[..., :, None] * rv[..., 2:3, :2]
+    det = b[..., 0, 0] * b[..., 1, 1] - b[..., 0, 1] * b[..., 1, 0]
+    inv_det = 1.0 / det
+    binv = (
+        jnp.stack(
+            [b[..., 1, 1], -b[..., 0, 1], -b[..., 1, 0], b[..., 0, 0]],
+            axis=-1,
+        ).reshape(b.shape)
+        * inv_det[..., None, None]
+    )
+    a = _mm(binv, jacobian)  # (..., 2, 2)
+
+    # Largest singular value of A (closed form for 2x2).
+    ata00 = a[..., 0, 0] ** 2 + a[..., 0, 1] ** 2
+    ata01 = a[..., 0, 0] * a[..., 1, 0] + a[..., 0, 1] * a[..., 1, 1]
+    ata11 = a[..., 1, 0] ** 2 + a[..., 1, 1] ** 2
+    gamma = jnp.sqrt(
+        0.5
+        * (
+            ata00
+            + ata11
+            + jnp.sqrt((ata00 - ata11) ** 2 + 4.0 * ata01**2)
+        )
+    )
+
+    rt = a / gamma[..., None, None]  # R-tilde, the upper-left 2x2 block
+    rt00, rt01 = rt[..., 0, 0], rt[..., 0, 1]
+    rt10, rt11 = rt[..., 1, 0], rt[..., 1, 1]
+
+    b0 = jnp.sqrt(jnp.maximum(1.0 - rt00**2 - rt10**2, 0.0))
+    b1 = jnp.sqrt(jnp.maximum(1.0 - rt01**2 - rt11**2, 0.0))
+    sp = -rt00 * rt01 - rt10 * rt11
+    b1 = jnp.where(sp < 0.0, -b1, b1)
+
+    def assemble(b0, b1):
+        # Columns: [rt00, rt10, b0], [rt01, rt11, b1], cross(col0, col1).
+        c0 = jnp.stack([rt00, rt10, b0], axis=-1)
+        c1 = jnp.stack([rt01, rt11, b1], axis=-1)
+        c2 = jnp.cross(c0, c1)
+        m = jnp.stack([c0, c1, c2], axis=-1)  # (..., 3, 3) columns
+        return _mm(rv, m)
+
+    return assemble(b0, b1), assemble(-b0, -b1)
+
+
+def compute_translation(
+    object_points: jnp.ndarray,
+    normalized_image_points: jnp.ndarray,
+    rot: jnp.ndarray,
+) -> jnp.ndarray:
+    """Least-squares translation given a rotation candidate
+    (reference pose.rs:269-335, via an explicit 3x3 normal-equation solve).
+
+    object_points: (..., 4, 3); image points (..., 4, 2); rot (..., 3, 3).
+    """
+    rp = _mm(object_points, jnp.swapaxes(rot, -1, -2))  # (..., 4, 3) = R @ p
+    u = normalized_image_points[..., 0]
+    v = normalized_image_points[..., 1]
+    a2 = -u
+    b2 = -v
+
+    npts = object_points.shape[-2]
+    batch = rp.shape[:-2]
+    n = jnp.full(batch, float(npts), dtype=rp.dtype)
+    zero = jnp.zeros(batch, dtype=rp.dtype)
+    sa = jnp.sum(a2, axis=-1)
+    sb = jnp.sum(b2, axis=-1)
+    sab = jnp.sum(a2 * a2 + b2 * b2, axis=-1)
+    ata = jnp.stack(
+        [n, zero, sa, zero, n, sb, sa, sb, sab], axis=-1
+    ).reshape(batch + (3, 3))
+
+    rx, ry, rz = rp[..., 0], rp[..., 1], rp[..., 2]
+    bx = -a2 * rz - rx
+    by = -b2 * rz - ry
+    atb = jnp.stack(
+        [
+            jnp.sum(bx, axis=-1),
+            jnp.sum(by, axis=-1),
+            jnp.sum(a2 * bx + b2 * by, axis=-1),
+        ],
+        axis=-1,
+    )
+    return jnp.linalg.solve(ata, atb[..., None])[..., 0]
+
+
+def compute_reprojection_error(
+    rotation: jnp.ndarray,
+    translation: jnp.ndarray,
+    object_points: jnp.ndarray,
+    normalized_image_points: jnp.ndarray,
+) -> jnp.ndarray:
+    """Sum of per-point reprojection distances, z clamped at 1e-5
+    (reference pose.rs:337-348)."""
+    proj = _mm(object_points, jnp.swapaxes(rotation, -1, -2)) + translation[
+        ..., None, :
+    ]
+    z = jnp.maximum(proj[..., 2], _Z_CLAMP)
+    dx = proj[..., 0] / z - normalized_image_points[..., 0]
+    dy = proj[..., 1] / z - normalized_image_points[..., 1]
+    return jnp.sum(jnp.sqrt(dx * dx + dy * dy), axis=-1)
+
+
+def solve_canonical_form(
+    object_points: jnp.ndarray,
+    normalized_image_points: jnp.ndarray,
+    homography: jnp.ndarray,
+):
+    """IPPE core: homography -> two candidate poses (reference pose.rs:125-156).
+
+    Returns (rotations (..., 2, 3, 3), translations (..., 2, 3),
+    errors (..., 2)) — unsorted (candidate order as constructed).
+    """
+    h = homography
+    jac = jnp.stack(
+        [
+            h[..., 0, 0] - h[..., 2, 0] * h[..., 0, 2],
+            h[..., 0, 1] - h[..., 2, 1] * h[..., 0, 2],
+            h[..., 1, 0] - h[..., 2, 0] * h[..., 1, 2],
+            h[..., 1, 1] - h[..., 2, 1] * h[..., 1, 2],
+        ],
+        axis=-1,
+    ).reshape(h.shape[:-2] + (2, 2))
+    t2 = jnp.stack([h[..., 0, 2], h[..., 1, 2]], axis=-1)
+
+    r1, r2 = compute_rotations(jac, t2)
+    t1 = compute_translation(object_points, normalized_image_points, r1)
+    tt2 = compute_translation(object_points, normalized_image_points, r2)
+    e1 = compute_reprojection_error(
+        r1, t1, object_points, normalized_image_points
+    )
+    e2 = compute_reprojection_error(
+        r2, tt2, object_points, normalized_image_points
+    )
+    rotations = jnp.stack([r1, r2], axis=-3)
+    translations = jnp.stack([t1, tt2], axis=-2)
+    errors = jnp.stack([e1, e2], axis=-1)
+    return rotations, translations, errors
+
+
+def solve_normalized_batch(
+    normalized_image_points: jnp.ndarray, marker_size_mm
+):
+    """Batched IPPE solve, best pose first.
+
+    normalized_image_points: (..., 4, 2); marker_size_mm scalar or (...)
+    Returns (rotations (..., 2, 3, 3), translations (..., 2, 3),
+    errors (..., 2)) sorted so index 0 is the lower-error pose
+    (reference pose.rs:76-80).
+    """
+    pts = jnp.asarray(normalized_image_points, dtype=jnp.float32)
+    obj = make_marker_square(marker_size_mm)
+    obj = jnp.broadcast_to(obj, pts.shape[:-2] + (4, 3))
+    homography = compute_homography_from_marker_square(marker_size_mm, pts)
+    rotations, translations, errors = solve_canonical_form(
+        obj, pts, homography
+    )
+    swap = errors[..., 1] < errors[..., 0]
+    order = jnp.where(
+        swap[..., None],
+        jnp.array([1, 0]),
+        jnp.array([0, 1]),
+    )
+    rotations = jnp.take_along_axis(
+        rotations, order[..., :, None, None], axis=-3
+    )
+    translations = jnp.take_along_axis(
+        translations, order[..., :, None], axis=-2
+    )
+    errors = jnp.take_along_axis(errors, order, axis=-1)
+    return rotations, translations, errors
+
+
+# --------------------------------------------------------------------------
+# Reference-parity scalar API
+# --------------------------------------------------------------------------
+def _pair_from_batch(rotations, translations, errors):
+    p = lambda i: MarkerPose(  # noqa: E731
+        error=errors[i], rotation=rotations[i], translation=translations[i]
+    )
+    return p(0), p(1)
+
+
+def solve_with_normalized_points(normalized_image_points, marker_size_mm):
+    """(best, alt) poses from 4 normalized image points
+    (reference pose.rs:64-81)."""
+    pts = jnp.asarray(normalized_image_points, dtype=jnp.float32).reshape(
+        4, 2
+    )
+    rot, tr, err = solve_normalized_batch(pts, marker_size_mm)
+    return _pair_from_batch(rot, tr, err)
+
+
+def solve_with_undistorted_points(
+    image_points, marker_size_mm, image_size
+):
+    """Normalizes pixel coords per-axis by image dims then solves
+    (reference pose.rs:59-62 — aspect ratio knowingly ignored)."""
+    pts = jnp.asarray(image_points, dtype=jnp.float32).reshape(4, 2)
+    w, h = image_size
+    pts = pts / jnp.array([float(w), float(h)], dtype=jnp.float32)
+    return solve_with_normalized_points(pts, marker_size_mm)
+
+
+def solve_with_intrinsics(
+    image_points, marker_size_mm, camera_intrinsics: CameraIntrinsics
+):
+    """Unprojects pixel corners through the camera then solves
+    (reference pose.rs:52-55)."""
+    pts = jnp.asarray(image_points, dtype=jnp.float32).reshape(4, 2)
+    x, y = camera_intrinsics.unproject(pts[..., 0], pts[..., 1])
+    return solve_with_normalized_points(
+        jnp.stack([x, y], axis=-1), marker_size_mm
+    )
+
+
+def estimate_pose(image_points, marker_size_mm, image_size):
+    """Convenience alias used by the reference README (README.md:34 names an
+    ``estimate_pose`` that the Rust code never defines); provided here so the
+    documented surface actually exists."""
+    return solve_with_undistorted_points(
+        image_points, marker_size_mm, image_size
+    )
