@@ -1,29 +1,68 @@
-"""Detector API — stub, full pipeline lands in the next commits."""
+"""Detector — the end-to-end ArUco/AprilTag pipeline as one XLA program.
+
+Capability parity with reference src/aruco.rs:
+  * ``DetectorConfig`` with the reference defaults (aruco.rs:32-43).
+  * ``Detector { config, dictionary }`` and ``detect(image) -> Detection``
+    (aruco.rs:46-122): grayscale -> adaptive threshold -> quad candidates ->
+    clockwise corners -> near-duplicate suppression -> perspective patches ->
+    Otsu binarize -> bit decode over 4 rotations -> dictionary match ->
+    accept iff min distance < tau (or always when
+    ``filter_high_bit_errors=False``), corners rotated so corner 0 is the
+    marker's top-left (aruco.rs:96-111).
+  * ``Detection`` exposes the debug intermediates the reference exposes:
+    grey image, candidate quads, rectified patches, decoded markers
+    (aruco.rs:15-21).
+
+TPU-native design: the whole per-frame pipeline is a single jitted function
+over fixed-capacity candidate buffers (no host round-trips between stages);
+``detect_batch`` vmaps it over a frame batch and is the unit that
+``parallel.sharding`` distributes over a TPU mesh.  Host-facing ``detect``
+is a thin adapter that feeds one frame through the same compiled program
+and materialises reference-shaped Python objects.
+"""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import functools
+from dataclasses import dataclass, field, replace
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
+from . import frontend, rectify, segment
 from .dictionaries import ARDictionary
 
 
 @dataclass(frozen=True)
 class DetectorConfig:
-    """Tunables, defaults matching reference src/aruco.rs:32-43."""
+    """Detection tunables; defaults match reference aruco.rs:32-43.
+
+    The reference's contour_simplification_epsilon controls RDP polygon
+    simplification, which has no analogue in the data-parallel quad fitter;
+    it is kept for API parity and ignored.  TPU-specific capacity/precision
+    knobs live here too so a config fully determines the compiled program.
+    """
 
     threshold_window: int = 7
-    contour_simplification_epsilon: float = 0.05
+    contour_simplification_epsilon: float = 0.05  # kept for API parity
     min_side_length_factor: float = 0.2
     min_corner_separation_factor: float = 0.1
     homography_sample_size: int = 49
     filter_high_bit_errors: bool = True
+    # --- TPU pipeline capacity/behaviour knobs (not in the reference) ---
+    max_candidates: int = 32
+    coarse_factor: int | None = None  # None = auto from image size
+    ccl_rounds: int = 16
+    refine_corners: bool = True
+    use_pallas: str = "auto"  # "auto" | "never" (frontend kernel selection)
 
 
 @dataclass
 class Marker:
-    """Decoded marker (reference src/aruco.rs:7-13)."""
+    """Decoded marker (reference aruco.rs:7-13): ``id`` indexes the
+    dictionary, ``code`` is the raw uncorrected read, corners are clockwise
+    pixel coords starting at the marker's top-left."""
 
     id: int
     code: int
@@ -33,7 +72,8 @@ class Marker:
 
 @dataclass
 class Detection:
-    """Pipeline output incl. debug intermediates (reference src/aruco.rs:15-21)."""
+    """Host-side pipeline output incl. debug intermediates
+    (reference aruco.rs:15-21)."""
 
     grey: np.ndarray | None = None
     candidates: list = field(default_factory=list)
@@ -42,9 +82,175 @@ class Detection:
 
 
 class Detector:
-    def __init__(self, config: DetectorConfig, dictionary: ARDictionary):
-        self.config = config
-        self.dictionary = dictionary
+    """detect() orchestrator (reference aruco.rs:46-122)."""
 
+    def __init__(
+        self,
+        config: DetectorConfig | None = None,
+        dictionary: ARDictionary | None = None,
+    ):
+        self.config = config or DetectorConfig()
+        self.dictionary = dictionary or ARDictionary.new_from_named_dict(
+            "ARUCO_DEFAULT"
+        )
+
+    # ---------------------------------------------------------------- jit
+    @functools.lru_cache(maxsize=32)
+    def _compiled(self, height: int, width: int, channels: int):
+        """Compile the frame pipeline for a given static image shape."""
+        cfg = self.config
+        dictionary = self.dictionary
+        ds = cfg.coarse_factor or segment.choose_coarse_factor(height, width)
+        params = segment.QuadParams(
+            max_candidates=cfg.max_candidates,
+            coarse_factor=ds,
+            ccl_rounds=cfg.ccl_rounds,
+            refine=cfg.refine_corners,
+        )
+        min_edge = min(width, height) * cfg.min_side_length_factor
+        min_sep = min(width, height) * cfg.min_corner_separation_factor
+
+        def pipeline(image: jnp.ndarray):
+            return detect_arrays(
+                image,
+                dictionary,
+                cfg,
+                params,
+                min_edge,
+                min_sep,
+                ds,
+            )
+
+        return jax.jit(pipeline)
+
+    # --------------------------------------------------------------- host
     def detect(self, image) -> Detection:
-        raise NotImplementedError("detect pipeline lands next")
+        """Single host image -> reference-shaped ``Detection``.
+
+        Accepts (H, W) gray, (H, W, 3) RGB or (H, W, 4) RGBA uint8 arrays
+        (anything np.asarray-able, e.g. PIL images).
+        """
+        arr = np.asarray(image)
+        if arr.dtype != np.uint8:
+            arr = np.clip(arr, 0, 255).astype(np.uint8)
+        channels = 1 if arr.ndim == 2 else arr.shape[-1]
+        fn = self._compiled(arr.shape[0], arr.shape[1], channels)
+        out = jax.device_get(fn(jnp.asarray(arr)))
+        return self._to_host(out)
+
+    def detect_batch(self, images: jnp.ndarray):
+        """(B, H, W[, C]) uint8 frames -> batched device-side results.
+
+        Stays on device (no host sync); fields carry a leading batch axis.
+        """
+        b, h, w = images.shape[0], images.shape[1], images.shape[2]
+        channels = 1 if images.ndim == 3 else images.shape[-1]
+        fn = self._compiled(h, w, channels)
+        return jax.vmap(fn)(images)
+
+    def _to_host(self, out) -> Detection:
+        quads = np.asarray(out["quads"])
+        quad_valid = np.asarray(out["quad_valid"])
+        patches = np.asarray(out["patches"])
+        det = Detection(grey=np.asarray(out["grey"]))
+        marker_valid = np.asarray(out["marker_valid"])
+        ids = np.asarray(out["marker_id"])
+        dists = np.asarray(out["marker_dist"])
+        code_pairs = np.asarray(out["marker_code"])
+        corners = np.asarray(out["marker_corners"])
+        for k in range(quads.shape[0]):
+            if not quad_valid[k]:
+                continue
+            det.candidates.append(
+                [(float(x), float(y)) for x, y in quads[k]]
+            )
+            det.homographies.append(
+                np.clip(np.round(patches[k]), 0, 255).astype(np.uint8)
+            )
+            if marker_valid[k]:
+                code = int(code_pairs[k, 0]) | (int(code_pairs[k, 1]) << 32)
+                det.markers.append(
+                    Marker(
+                        id=int(ids[k]),
+                        code=code,
+                        corners=[
+                            (int(round(float(x))), int(round(float(y))))
+                            for x, y in corners[k]
+                        ],
+                        hamming_distance=int(dists[k]),
+                    )
+                )
+        return det
+
+
+# --------------------------------------------------------------------------
+# The jitted frame pipeline (pure function of arrays + static config)
+# --------------------------------------------------------------------------
+def detect_arrays(
+    image: jnp.ndarray,
+    dictionary: ARDictionary,
+    cfg: DetectorConfig,
+    params: segment.QuadParams,
+    min_edge: float,
+    min_sep: float,
+    ds: int,
+):
+    """Full detect pipeline for one frame; all shapes static.
+
+    Returns a dict of device arrays with fixed candidate capacity K:
+      grey (H, W) u8; white (H, W) bool; quads (K, 4, 2) f32;
+      quad_valid (K,) bool; patches (K, S, S) f32; marker_valid (K,) bool;
+      marker_id / marker_dist / marker_rot (K,) i32; marker_code (K, 2) u32;
+      marker_corners (K, 4, 2) f32 (rotated so corner 0 = marker top-left).
+    """
+    grey = frontend.rgb_to_luma_u8(image)
+    white = frontend.adaptive_threshold(grey, cfg.threshold_window)
+
+    found = segment.find_quads(
+        white, params, min_edge, min_sep, coarse_factor=ds
+    )
+    quads, quad_valid = found["quads"], found["valid"]
+
+    s = cfg.homography_sample_size
+    H, h_valid = rectify.homography_square_to_quad(quads, s)
+    patches = rectify.warp_patches(grey, H, s)
+
+    mark_size = dictionary.get_mark_size()
+    bits, border_valid = rectify.decode_patches(patches, mark_size)
+
+    # Dictionary match across 4 rotations in one MXU matmul.
+    ids_r, dists_r = dictionary.find_nearest_bits(bits)  # (K, 4) each
+    rot = jnp.argmin(dists_r, axis=-1).astype(jnp.int32)  # first-min wins
+    take = lambda a: jnp.take_along_axis(a, rot[:, None], axis=1)[:, 0]  # noqa: E731
+    best_id = take(ids_r)
+    best_dist = take(dists_r)
+    code_pairs_r = rectify.bits_to_u32_pairs(bits)  # (K, 4, 2)
+    best_code = jnp.take_along_axis(
+        code_pairs_r, rot[:, None, None], axis=1
+    )[:, 0]
+
+    accept = quad_valid & h_valid & border_valid
+    if cfg.filter_high_bit_errors:
+        accept = accept & (best_dist < dictionary.tau)
+
+    # corners.rotate_left(min_rotation) (reference aruco.rs:97-103).
+    k = quads.shape[0]
+    base = jnp.arange(4, dtype=jnp.int32)[None, :]
+    perm = (base + rot[:, None]) % 4
+    corners_rot = jnp.take_along_axis(
+        quads, perm[..., None].astype(jnp.int32), axis=1
+    )
+
+    return {
+        "grey": grey,
+        "white": white,
+        "quads": quads,
+        "quad_valid": quad_valid,
+        "patches": patches,
+        "marker_valid": accept,
+        "marker_id": best_id,
+        "marker_dist": best_dist,
+        "marker_rot": rot,
+        "marker_code": best_code,
+        "marker_corners": corners_rot,
+    }

@@ -147,20 +147,23 @@ class ARDictionary:
         """(padded_bits, N) float32 in {-1,+1}, zero-padded lanes.
 
         Zero padding is distance-neutral when the query is also zero-padded.
+        The cache holds host numpy (never device tracers — caching a jnp
+        array created under an active jit/vmap trace leaks the tracer);
+        jnp.asarray inside a trace is a free constant.
         """
         if "bp_t" not in self._device:
             bp = codes_to_bitplanes(self.code_list, self.num_bits)
             pad = self.padded_bits - self.num_bits
             if pad:
                 bp = np.pad(bp, ((0, 0), (0, pad)))
-            self._device["bp_t"] = jnp.asarray(bp.T)
-        return self._device["bp_t"]
+            self._device["bp_t"] = np.ascontiguousarray(bp.T)
+        return jnp.asarray(self._device["bp_t"])
 
     def codebook_u32(self) -> jnp.ndarray:
-        """(N, 2) uint32 (lo, hi) code words on device."""
+        """(N, 2) uint32 (lo, hi) code words."""
         if "u32" not in self._device:
-            self._device["u32"] = jnp.asarray(pack_u64_to_u32(self.code_list))
-        return self._device["u32"]
+            self._device["u32"] = pack_u64_to_u32(self.code_list)
+        return jnp.asarray(self._device["u32"])
 
     # ------------------------------------------------------------ matching
     def find_nearest_bits(self, query_bits: jnp.ndarray):

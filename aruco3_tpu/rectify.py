@@ -1,0 +1,283 @@
+"""Perspective rectification and code-bit decoding, batched over candidates.
+
+Capability parity (vs reference src/aruco.rs):
+  * ``extract_homographies``: 4-point projection + bilinear warp of each
+    candidate quad into an SxS gray patch (aruco.rs:234-261; S=49 default).
+    Warp convention matches imageproc ``warp_into``: output pixel (x, y)
+    samples the source at H_patch->image (x, y), out-of-bounds reads the
+    black default.
+  * ``homography_to_code_permutations``: per-patch Otsu binarization
+    (aruco.rs:264-265), Triangle-filter resize to mark_size (aruco.rs:273),
+    bit = value > 127 (aruco.rs:283), all-black border gate
+    (aruco.rs:288-292), and the MSB-first inner-grid read with 3 extra 90°
+    CCW rotations (aruco.rs:296-326).
+
+TPU-first design: every candidate is a lane in a fixed-capacity batch.
+The warp is one gather + fused bilinear blend; Otsu histograms are a
+broadcast-compare-reduce; the Triangle resize is two small matmuls
+(L @ patch @ L^T) that ride the MXU; rotations are static jnp.rot90 views.
+Invalid lanes (masked candidates, failed border gates) are carried as
+validity masks — no dynamic shapes anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+# --------------------------------------------------------------------------
+# Homography from control points (patch square -> image quad)
+# --------------------------------------------------------------------------
+def homography_square_to_quad(
+    quads: jnp.ndarray, patch_size: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """DLT homographies mapping the patch square to each image quad.
+
+    quads: (..., 4, 2) float (x, y) image corners, clockwise from top-left.
+    The square control points are (0,0), (s,0), (s,s), (0,s) with
+    s = patch_size, matching reference aruco.rs:244-247.
+
+    Returns (H (..., 3, 3), valid (...,)) — invalid when the DLT system is
+    singular (degenerate quad), mirroring the reference's projection-failure
+    fallback (aruco.rs:250-256).
+    """
+    q = jnp.asarray(quads, dtype=jnp.float32)
+    batch = q.shape[:-2]
+    s = float(patch_size)
+    sx = jnp.broadcast_to(
+        jnp.array([0.0, s, s, 0.0], dtype=jnp.float32), batch + (4,)
+    )
+    sy = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, s, s], dtype=jnp.float32), batch + (4,)
+    )
+    u = q[..., 0]
+    v = q[..., 1]
+    zeros = jnp.zeros_like(sx)
+    ones = jnp.ones_like(sx)
+    rows_u = jnp.stack(
+        [sx, sy, ones, zeros, zeros, zeros, -u * sx, -u * sy], axis=-1
+    )
+    rows_v = jnp.stack(
+        [zeros, zeros, zeros, sx, sy, ones, -v * sx, -v * sy], axis=-1
+    )
+    A = jnp.concatenate([rows_u, rows_v], axis=-2)  # (..., 8, 8)
+    b = jnp.concatenate([u, v], axis=-1)[..., None]
+
+    # Detect singular systems without host round-trips: solve, then check
+    # finiteness and residual.
+    h = jnp.linalg.solve(A, b)[..., 0]
+    residual = jnp.abs(
+        jnp.matmul(A, h[..., None], precision=_HIGHEST)[..., 0] - b[..., 0]
+    ).sum(-1)
+    valid = jnp.isfinite(h).all(-1) & (residual < 1e-2 * (1.0 + jnp.abs(b[..., 0]).sum(-1)))
+    H = jnp.concatenate(
+        [h, jnp.ones(batch + (1,), dtype=h.dtype)], axis=-1
+    ).reshape(batch + (3, 3))
+    H = jnp.where(valid[..., None, None], H, jnp.eye(3, dtype=h.dtype))
+    return H, valid
+
+
+# --------------------------------------------------------------------------
+# Bilinear patch warp
+# --------------------------------------------------------------------------
+def warp_patches(
+    grey: jnp.ndarray, H: jnp.ndarray, patch_size: int
+) -> jnp.ndarray:
+    """Sample SxS patches from ``grey`` through per-candidate homographies.
+
+    grey: (Him, Wim) uint8; H: (K, 3, 3) mapping patch coords -> image coords.
+    Returns (K, S, S) float32 in [0, 255]; out-of-bounds samples are 0
+    (the reference's black default, aruco.rs:253).
+    """
+    him, wim = grey.shape
+    s = patch_size
+    ys, xs = jnp.meshgrid(
+        jnp.arange(s, dtype=jnp.float32),
+        jnp.arange(s, dtype=jnp.float32),
+        indexing="ij",
+    )
+    ones = jnp.ones_like(xs)
+    pix = jnp.stack([xs, ys, ones], axis=-1).reshape(-1, 3)  # (S*S, 3)
+
+    src = jnp.einsum(
+        "kij,pj->kpi", H, pix, precision=_HIGHEST
+    )  # (K, S*S, 3)
+    w = src[..., 2]
+    wsafe = jnp.where(jnp.abs(w) < 1e-12, 1.0, w)
+    sxp = src[..., 0] / wsafe
+    syp = src[..., 1] / wsafe
+
+    inb = (
+        (sxp >= 0.0)
+        & (sxp <= wim - 1.0)
+        & (syp >= 0.0)
+        & (syp <= him - 1.0)
+        & (jnp.abs(w) >= 1e-12)
+    )
+    x0 = jnp.clip(jnp.floor(sxp), 0, wim - 1)
+    y0 = jnp.clip(jnp.floor(syp), 0, him - 1)
+    fx = sxp - x0
+    fy = syp - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, wim - 1)
+    y1i = jnp.minimum(y0i + 1, him - 1)
+
+    g = grey.astype(jnp.float32)
+    flat = g.reshape(-1)
+    gather = lambda yy, xx: flat[(yy * wim + xx).reshape(-1)].reshape(  # noqa: E731
+        yy.shape
+    )
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x1i)
+    v10 = gather(y1i, x0i)
+    v11 = gather(y1i, x1i)
+    top = v00 * (1.0 - fx) + v01 * fx
+    bot = v10 * (1.0 - fx) + v11 * fx
+    vals = top * (1.0 - fy) + bot * fy
+    vals = jnp.where(inb, vals, 0.0)
+    return vals.reshape(H.shape[0], s, s)
+
+
+# --------------------------------------------------------------------------
+# Otsu threshold per patch
+# --------------------------------------------------------------------------
+def otsu_level(patches: jnp.ndarray) -> jnp.ndarray:
+    """Per-patch Otsu threshold level (K,), from (K, S, S) values in [0,255].
+
+    Standard between-class-variance maximisation over 256 bins (imageproc
+    ``otsu_level`` semantics, used at reference aruco.rs:264); ties resolve
+    to the lowest level.
+    """
+    k = patches.shape[0]
+    vals = jnp.clip(jnp.round(patches), 0, 255).astype(jnp.int32)
+    vals = vals.reshape(k, -1)
+    n = vals.shape[1]
+    bins = jnp.arange(256, dtype=jnp.int32)
+    hist = jnp.sum(
+        (vals[:, :, None] == bins[None, None, :]).astype(jnp.float32),
+        axis=1,
+    )  # (K, 256)
+
+    p = hist / float(n)
+    binsf = bins.astype(jnp.float32)
+    omega = jnp.cumsum(p, axis=-1)  # class 0 = values <= t
+    mu = jnp.cumsum(p * binsf, axis=-1)
+    mu_total = mu[:, -1:]
+    # Between-class variance sigma_b^2(t) = (muT*w0 - mu0)^2 / (w0*(1-w0))
+    num = (mu_total * omega - mu) ** 2
+    den = omega * (1.0 - omega)
+    sigma = jnp.where(den > 0.0, num / jnp.maximum(den, 1e-12), -1.0)
+    return jnp.argmax(sigma, axis=-1).astype(jnp.int32)
+
+
+# --------------------------------------------------------------------------
+# Triangle-filter resize as a matmul
+# --------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _triangle_resize_matrix(src: int, dst: int) -> np.ndarray:
+    """(dst, src) row-stochastic Triangle (bilinear) resampling matrix with
+    image-crate semantics: centers at (i+0.5), support scaled by the
+    downscale ratio, weights normalised per output pixel."""
+    ratio = src / dst
+    scale = max(ratio, 1.0)
+    support = 1.0 * scale
+    L = np.zeros((dst, src), dtype=np.float32)
+    for o in range(dst):
+        center = (o + 0.5) * ratio
+        lo = int(np.floor(center - support))
+        hi = int(np.ceil(center + support))
+        lo = max(lo, 0)
+        hi = min(hi, src - 1)
+        for i in range(lo, hi + 1):
+            t = abs((i + 0.5 - center) / scale)
+            w = max(0.0, 1.0 - t)
+            L[o, i] = w
+        srow = L[o].sum()
+        if srow > 0:
+            L[o] /= srow
+    return L
+
+
+def resize_triangle(patches: jnp.ndarray, dst: int) -> jnp.ndarray:
+    """(K, S, S) -> (K, dst, dst) separable Triangle resize via two matmuls
+    (MXU path), matching image::imageops::resize FilterType::Triangle as
+    used at reference aruco.rs:273."""
+    src = patches.shape[-1]
+    L = jnp.asarray(_triangle_resize_matrix(src, dst))
+    out = jnp.einsum(
+        "oi,kij->koj", L, patches, precision=_HIGHEST
+    )
+    out = jnp.einsum(
+        "koj,pj->kop", out, L, precision=_HIGHEST
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# Bit extraction
+# --------------------------------------------------------------------------
+def decode_patches(
+    patches: jnp.ndarray, mark_size: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Patches -> 4-rotation LSB-indexed bit vectors + border validity.
+
+    patches: (K, S, S) float32 grays in [0, 255].
+    Returns:
+      bits:  (K, 4, num_bits) int32 in {0, 1}; rotation r is the marker
+             grid rotated r*90 degrees CCW (reference aruco.rs:296-326),
+             bit i = LSB i of the decoded u64 (MSB-first grid read).
+      valid: (K,) bool — False when any border cell is white
+             (reference aruco.rs:288-292).
+    """
+    k = patches.shape[0]
+    levels = otsu_level(patches)  # (K,)
+    binar = jnp.where(
+        patches > levels[:, None, None].astype(jnp.float32), 255.0, 0.0
+    )
+    reduced = resize_triangle(binar, mark_size)  # (K, m, m)
+    grid = reduced > 127.0  # True == white cell (reference aruco.rs:283)
+
+    border = jnp.concatenate(
+        [
+            grid[:, 0, :],
+            grid[:, -1, :],
+            grid[:, :, 0],
+            grid[:, :, -1],
+        ],
+        axis=-1,
+    )
+    valid = ~jnp.any(border, axis=-1)
+
+    inner = grid[:, 1:-1, 1:-1]  # (K, m-2, m-2)
+    rots = jnp.stack(
+        [jnp.rot90(inner, r, axes=(1, 2)) for r in range(4)], axis=1
+    )  # (K, 4, m-2, m-2)
+    nb = (mark_size - 2) * (mark_size - 2)
+    flat = rots.reshape(k, 4, nb)
+    # MSB-first read: grid cell p lands at code bit (nb-1-p); our bit
+    # vectors are LSB-indexed, so reverse the flattened grid.
+    bits = flat[:, :, ::-1].astype(jnp.int32)
+    return bits, valid
+
+
+def bits_to_u32_pairs(bits: jnp.ndarray) -> jnp.ndarray:
+    """(..., num_bits) {0,1} -> (..., 2) uint32 (lo, hi) code words."""
+    nb = bits.shape[-1]
+    idx = np.arange(nb)
+    lo_w = jnp.asarray(
+        np.where(idx < 32, 1 << (idx % 32), 0).astype(np.uint32)
+    )
+    hi_w = jnp.asarray(
+        np.where(idx >= 32, 1 << (idx % 32), 0).astype(np.uint32)
+    )
+    b = bits.astype(jnp.uint32)
+    lo = jnp.sum(b * lo_w, axis=-1, dtype=jnp.uint32)
+    hi = jnp.sum(b * hi_w, axis=-1, dtype=jnp.uint32)
+    return jnp.stack([lo, hi], axis=-1)

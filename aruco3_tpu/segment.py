@@ -1,0 +1,410 @@
+"""Data-parallel quad-candidate extraction (replaces contour tracing).
+
+The reference walks Suzuki-Abe borders sequentially and RDP-simplifies each
+contour to a quad (reference src/aruco.rs:64-166).  Border following is
+inherently serial and hostile to SIMD/vector units, so this module uses a
+coarse-to-fine, fixed-shape, fully data-parallel design instead:
+
+  1. Downsample the black mask to a coarse grid (majority pool, factor
+     chosen so the grid stays small; markers obey a minimum side length so
+     no detection is lost to pooling).
+  2. Label 8-connected black components by iterated neighbour-min label
+     propagation with pointer jumping (log-depth convergence) — pure
+     gather/min ops, no data-dependent control flow.
+  3. Keep the top-K components by pixel count (fixed capacity K, masked
+     lanes) and fit a quad to each via four masked argmax reductions:
+     farthest-from-centroid -> farthest-from-A -> extreme points on both
+     sides of the diagonal.  For convex boundaries these are convex-hull
+     vertices, i.e. the quad corners.
+  4. Refine each corner at full resolution: inside a window around the
+     coarse corner, take the black pixel (of the same component) extremal
+     along the centroid->corner direction.
+  5. Geometry filters with reference semantics: clockwise corner order
+     (aruco.rs:168-185), the min-edge-length gate *including the
+     squared-vs-linear comparison quirk* (aruco.rs:149-156 compares squared
+     edge length against the linear threshold — reproduced for recall
+     parity), near-duplicate suppression by mean corner distance keeping
+     the larger perimeter (aruco.rs:187-232), plus a containment test that
+     stands in for the reference's "simplifies to exactly 4 convex
+     vertices" check (rejects disks/blobs whose hull-quad misses pixels).
+
+Everything is static-shape and jit/vmap-friendly; invalid lanes carry a
+False validity bit instead of changing shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class QuadParams:
+    """Static quad-extraction hyper-parameters (jit-time constants)."""
+
+    max_candidates: int = 32
+    coarse_factor: int = 8  # downsample factor for the CCL grid
+    ccl_rounds: int = 16  # label-propagation rounds (each: 2 props + 2 jumps)
+    min_component_px: int = 3  # in coarse pixels
+    containment_slack: float = 1.5  # in coarse cells
+    min_containment: float = 0.80
+    refine_window: int = 32  # full-res corner refinement window (px)
+    refine: bool = True
+
+
+def choose_coarse_factor(h: int, w: int, target: int = 192) -> int:
+    """Pick a pooling factor so the coarse grid's long side is ~target."""
+    return max(1, int(np.ceil(max(h, w) / target)))
+
+
+# --------------------------------------------------------------------------
+# Coarse mask + connected-component labelling
+# --------------------------------------------------------------------------
+def pool_black(black: jnp.ndarray, ds: int) -> jnp.ndarray:
+    """Majority-pool an (H, W) bool mask by ds (pad with False)."""
+    h, w = black.shape
+    hp = -(-h // ds) * ds
+    wp = -(-w // ds) * ds
+    m = jnp.pad(black, ((0, hp - h), (0, wp - w)))
+    pooled = m.reshape(hp // ds, ds, wp // ds, ds).sum(axis=(1, 3))
+    return pooled * 2 > ds * ds  # strict majority
+
+
+def label_components(black: jnp.ndarray, rounds: int) -> jnp.ndarray:
+    """8-connected CCL by neighbour-min propagation + pointer jumping.
+
+    black: (Hc, Wc) bool.  Returns (Hc, Wc) int32 labels: each black pixel
+    holds the linear index of its component representative (the component's
+    minimum linear index); white pixels hold the sentinel P = Hc*Wc.
+    """
+    hc, wc = black.shape
+    p = hc * wc
+    sentinel = jnp.int32(p)
+    idx = jnp.arange(p, dtype=jnp.int32).reshape(hc, wc)
+    lbl = jnp.where(black, idx, sentinel)
+
+    def neighbor_min(l):
+        big = sentinel
+        pads = jnp.pad(l, 1, constant_values=p)
+        stacks = [
+            pads[0:-2, 1:-1],
+            pads[2:, 1:-1],
+            pads[1:-1, 0:-2],
+            pads[1:-1, 2:],
+            pads[0:-2, 0:-2],
+            pads[0:-2, 2:],
+            pads[2:, 0:-2],
+            pads[2:, 2:],
+        ]
+        m = l
+        for s in stacks:
+            m = jnp.minimum(m, s)
+        return jnp.where(black, m, big)
+
+    def jump(l):
+        flat = jnp.concatenate([l.reshape(-1), sentinel[None]])
+        return flat[l]  # index p -> sentinel slot
+
+    def body(_, l):
+        l = neighbor_min(l)
+        l = jump(l)
+        l = neighbor_min(l)
+        l = jump(l)
+        return l
+
+    return jax.lax.fori_loop(0, rounds, body, lbl)
+
+
+# --------------------------------------------------------------------------
+# Component selection + quad fitting
+# --------------------------------------------------------------------------
+def _masked_argmax(score: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    return jnp.argmax(jnp.where(mask, score, -jnp.inf), axis=-1)
+
+
+def fit_quads(
+    labels: jnp.ndarray,
+    ds: int,
+    params: QuadParams,
+):
+    """Top-K components -> fitted quads in full-res pixel coords.
+
+    labels: (Hc, Wc) int32 from ``label_components``.
+    Returns dict with:
+      quads:     (K, 4, 2) float32 (x, y) corners (A, B, C, D cyclic)
+      valid:     (K,) bool
+      roots:     (K,) int32 component representative (coarse linear index)
+      centroids: (K, 2) float32 full-res (x, y)
+      sizes:     (K,) int32 coarse pixel counts
+    """
+    hc, wc = labels.shape
+    p = hc * wc
+    k = params.max_candidates
+    flat = labels.reshape(-1)
+
+    sizes_all = jnp.zeros(p + 1, dtype=jnp.int32).at[flat].add(1)
+    sizes_all = sizes_all.at[p].set(0)  # drop the white sentinel
+    sizes, roots = jax.lax.top_k(sizes_all, k)
+    valid = sizes >= params.min_component_px
+
+    # (K, P) membership masks.
+    member = flat[None, :] == roots[:, None]  # (K, P)
+
+    # Full-res coordinates of coarse cell centers.
+    ii = jnp.arange(p, dtype=jnp.int32)
+    cy = (ii // wc).astype(jnp.float32) * ds + (ds - 1) * 0.5
+    cx = (ii % wc).astype(jnp.float32) * ds + (ds - 1) * 0.5
+
+    szf = jnp.maximum(sizes.astype(jnp.float32), 1.0)
+    cenx = jnp.sum(jnp.where(member, cx[None, :], 0.0), axis=-1) / szf
+    ceny = jnp.sum(jnp.where(member, cy[None, :], 0.0), axis=-1) / szf
+
+    # Corner A: farthest from centroid.
+    d2c = (cx[None, :] - cenx[:, None]) ** 2 + (cy[None, :] - ceny[:, None]) ** 2
+    ia = _masked_argmax(d2c, member)
+    ax, ay = cx[ia], cy[ia]
+
+    # Corner C: farthest from A.
+    d2a = (cx[None, :] - ax[:, None]) ** 2 + (cy[None, :] - ay[:, None]) ** 2
+    ic = _masked_argmax(d2a, member)
+    qcx, qcy = cx[ic], cy[ic]
+
+    # Corners B, D: extremes on either side of diagonal A-C.
+    dx = qcx - ax
+    dy = qcy - ay
+    cross = (cx[None, :] - ax[:, None]) * dy[:, None] - (
+        cy[None, :] - ay[:, None]
+    ) * dx[:, None]
+    ib = _masked_argmax(cross, member)
+    idd = _masked_argmax(-cross, member)
+    bx, by = cx[ib], cy[ib]
+    ddx, ddy = cx[idd], cy[idd]
+
+    quads = jnp.stack(
+        [
+            jnp.stack([ax, ay], axis=-1),
+            jnp.stack([bx, by], axis=-1),
+            jnp.stack([qcx, qcy], axis=-1),
+            jnp.stack([ddx, ddy], axis=-1),
+        ],
+        axis=-2,
+    )  # (K, 4, 2)
+
+    # Containment: fraction of component pixels inside the fitted quad.
+    px = cx[None, :]
+    py = cy[None, :]
+    slack = params.containment_slack * ds
+    # Signed edge distances with consistent polygon orientation.
+    e_from = quads  # (K, 4, 2)
+    e_to = jnp.roll(quads, -1, axis=-2)
+    ex = e_to[..., 0] - e_from[..., 0]  # (K, 4)
+    ey = e_to[..., 1] - e_from[..., 1]
+    elen = jnp.sqrt(ex * ex + ey * ey) + 1e-6
+    # area sign (y-down): positive for one orientation
+    area2 = jnp.sum(
+        e_from[..., 0] * e_to[..., 1] - e_to[..., 0] * e_from[..., 1],
+        axis=-1,
+    )
+    sgn = jnp.where(area2 >= 0, 1.0, -1.0)
+    # Signed distance of pixel to edge line: z = ex*dy - ey*dx (positive on
+    # the interior side for shoelace-positive orientation).
+    crossd = (
+        (py[:, None, :] - e_from[..., 1:2]) * ex[..., None]
+        - (px[:, None, :] - e_from[..., 0:1]) * ey[..., None]
+    ) / elen[..., None]  # (K, 4, P)
+    inside = jnp.all(sgn[:, None, None] * crossd >= -slack, axis=1)  # (K, P)
+    frac = jnp.sum(jnp.where(member & inside, 1.0, 0.0), axis=-1) / szf
+    valid = valid & (frac >= params.min_containment)
+
+    return {
+        "quads": quads,
+        "valid": valid,
+        "roots": roots,
+        "centroids": jnp.stack([cenx, ceny], axis=-1),
+        "sizes": sizes,
+    }
+
+
+# --------------------------------------------------------------------------
+# Full-resolution corner refinement
+# --------------------------------------------------------------------------
+def refine_corners(
+    black: jnp.ndarray,
+    labels: jnp.ndarray,
+    coarse_black: jnp.ndarray,
+    quads: jnp.ndarray,
+    centroids: jnp.ndarray,
+    roots: jnp.ndarray,
+    ds: int,
+    window: int,
+):
+    """Snap each coarse corner to the extreme full-res black pixel.
+
+    For corner q with component centroid c, the refined corner is the black
+    pixel p in a window around q (belonging to the same coarse component, or
+    to an unlabeled mixed cell) maximising dot(p, q - c).  Falls back to the
+    coarse corner when the window holds no valid pixel.
+    """
+    h, w = black.shape
+    hc, wc = labels.shape
+    wn = window
+    k = quads.shape[0]
+
+    dirs = quads - centroids[:, None, :]  # (K, 4, 2)
+    dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-6)
+
+    # Coarse membership, dilated by one cell so mixed boundary cells (not
+    # majority-black, hence unlabeled) next to the component still count.
+    member_img = labels[None, :, :] == roots[:, None, None]  # (K, Hc, Wc)
+    padm = jnp.pad(member_img, ((0, 0), (1, 1), (1, 1)))
+    dilated = jnp.zeros_like(member_img)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            dilated = dilated | padm[:, dy : dy + hc, dx : dx + wc]
+
+    # Window top-left per (k, corner), clipped so slices stay in bounds.
+    tlx = jnp.clip(
+        jnp.round(quads[..., 0]).astype(jnp.int32) - wn // 2, 0, max(w - wn, 0)
+    )
+    tly = jnp.clip(
+        jnp.round(quads[..., 1]).astype(jnp.int32) - wn // 2, 0, max(h - wn, 0)
+    )
+
+    oy, ox = jnp.meshgrid(
+        jnp.arange(wn, dtype=jnp.int32),
+        jnp.arange(wn, dtype=jnp.int32),
+        indexing="ij",
+    )
+
+    def one(tlx_, tly_, dir_, root_, dil_):
+        win = jax.lax.dynamic_slice(black, (tly_, tlx_), (wn, wn))
+        yy = tly_ + oy
+        xx = tlx_ + ox
+        cyy = jnp.clip(yy // ds, 0, hc - 1)
+        cxx = jnp.clip(xx // ds, 0, wc - 1)
+        cell = labels[cyy, cxx]
+        cell_black = coarse_black[cyy, cxx]
+        near_root = dil_[cyy, cxx]
+        ok = win & ((cell == root_) | (~cell_black & near_root))
+        score = xx.astype(jnp.float32) * dir_[0] + yy.astype(jnp.float32) * dir_[1]
+        score = jnp.where(ok, score, -jnp.inf)
+        best = jnp.argmax(score.reshape(-1))
+        has = jnp.any(ok)
+        bx = (tlx_ + best % wn).astype(jnp.float32)
+        by = (tly_ + best // wn).astype(jnp.float32)
+        return bx, by, has
+
+    one_v = jax.vmap(
+        jax.vmap(one, in_axes=(0, 0, 0, None, None)),
+        in_axes=(0, 0, 0, 0, 0),
+    )
+    bx, by, has = one_v(tlx, tly, dirs, roots, dilated)
+    refined = jnp.stack([bx, by], axis=-1)
+    return jnp.where(has[..., None], refined, quads)
+
+
+# --------------------------------------------------------------------------
+# Geometry filters (reference semantics)
+# --------------------------------------------------------------------------
+def enforce_clockwise(quads: jnp.ndarray) -> jnp.ndarray:
+    """Swap corners 1 and 3 when the quad is counter-clockwise in y-down
+    screen space (reference aruco.rs:168-185)."""
+    d1 = quads[..., 1, :] - quads[..., 0, :]
+    d2 = quads[..., 2, :] - quads[..., 0, :]
+    cross = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]
+    swapped = quads[..., jnp.array([0, 3, 2, 1]), :]
+    return jnp.where((cross < 0)[..., None, None], swapped, quads)
+
+
+def min_edge_gate(quads: jnp.ndarray, min_edge_length: float) -> jnp.ndarray:
+    """Reference quirk reproduced: the *squared* minimum edge length is
+    compared against the *linear* threshold (aruco.rs:149-156)."""
+    nxt = jnp.roll(quads, -1, axis=-2)
+    d = nxt - quads
+    edge_sq = jnp.sum(d * d, axis=-1)  # (K, 4)
+    return jnp.min(edge_sq, axis=-1) >= min_edge_length
+
+
+def perimeter(quads: jnp.ndarray) -> jnp.ndarray:
+    """Quad perimeter (reference aruco.rs:328-338)."""
+    nxt = jnp.roll(quads, -1, axis=-2)
+    return jnp.sum(
+        jnp.linalg.norm(nxt - quads, axis=-1), axis=-1
+    )
+
+
+def discard_too_near(
+    quads: jnp.ndarray, valid: jnp.ndarray, min_distance: float
+) -> jnp.ndarray:
+    """Suppress near-duplicate quads, keeping the larger perimeter.
+
+    Semantics of reference aruco.rs:187-232: two quads are duplicates when
+    the mean distance between index-aligned corners is below min_distance
+    (same rotation-sensitivity caveat as the reference, aruco.rs:189-190).
+    The parallel rule drops a quad iff some *larger* (or equal-but-earlier)
+    valid near-duplicate exists, which resolves chains in one pass instead
+    of the reference's order-dependent scan.
+    """
+    diff = quads[:, None, :, :] - quads[None, :, :, :]  # (K, K, 4, 2)
+    mean_d = jnp.mean(jnp.linalg.norm(diff, axis=-1), axis=-1)  # (K, K)
+    peri = perimeter(quads)
+    k = quads.shape[0]
+    ii = jnp.arange(k)
+    near = (mean_d < min_distance) & valid[:, None] & valid[None, :]
+    near = near & (ii[:, None] != ii[None, :])
+    bigger = (peri[:, None] > peri[None, :]) | (
+        (peri[:, None] == peri[None, :]) & (ii[:, None] < ii[None, :])
+    )
+    killed = jnp.any(near & bigger, axis=0)  # axis 0: does a bigger i kill j?
+    return valid & ~killed
+
+
+# --------------------------------------------------------------------------
+# End-to-end quad extraction
+# --------------------------------------------------------------------------
+def find_quads(
+    white: jnp.ndarray,
+    params: QuadParams,
+    min_edge_length: float,
+    min_corner_separation: float,
+    coarse_factor: int | None = None,
+):
+    """Thresholded white mask -> fixed-capacity candidate quads.
+
+    white: (H, W) bool adaptive-threshold output (True = foreground).
+    Returns dict: quads (K, 4, 2) float32 clockwise corners, valid (K,) bool.
+    """
+    h, w = white.shape
+    ds = coarse_factor or choose_coarse_factor(h, w)
+    black = ~white
+    coarse = pool_black(black, ds)
+    labels = label_components(coarse, params.ccl_rounds)
+    fit = fit_quads(labels, ds, params)
+    quads, valid = fit["quads"], fit["valid"]
+
+    if params.refine and ds > 1:
+        quads = refine_corners(
+            black,
+            labels,
+            coarse,
+            quads,
+            fit["centroids"],
+            fit["roots"],
+            ds,
+            params.refine_window,
+        )
+
+    quads = enforce_clockwise(quads)
+    valid = valid & min_edge_gate(quads, min_edge_length)
+    valid = discard_too_near(quads, valid, min_corner_separation)
+    return {
+        "quads": quads,
+        "valid": valid,
+        "labels": labels,
+        "coarse_factor": ds,
+        "sizes": fit["sizes"],
+    }

@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Benchmark: 1080p frames/sec/chip for detect + IPPE pose.
+
+Mirrors BASELINE.json config 3 (1080p stream, ARUCO_MIP_36H12, full
+detect+pose).  Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+vs_baseline is measured against the BASELINE.json north-star target of
+10,000 1080p frames/sec/chip (the reference publishes no numbers of its
+own; see BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from aruco3_tpu import ARDictionary, Detector, DetectorConfig
+    from aruco3_tpu import pose as pose_mod
+    from aruco3_tpu import segment
+    from aruco3_tpu.detector import detect_arrays
+    from aruco3_tpu.render import random_marker_scene
+
+    h, w = 1080, 1920
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+
+    cfg = DetectorConfig()
+    dictionary = ARDictionary.new_from_named_dict("ARUCO_MIP_36H12")
+    ds = cfg.coarse_factor or segment.choose_coarse_factor(h, w)
+    params = segment.QuadParams(
+        max_candidates=cfg.max_candidates,
+        coarse_factor=ds,
+        ccl_rounds=cfg.ccl_rounds,
+        refine=cfg.refine_corners,
+    )
+    min_edge = min(w, h) * cfg.min_side_length_factor
+    min_sep = min(w, h) * cfg.min_corner_separation_factor
+
+    def one(image):
+        out = detect_arrays(
+            image, dictionary, cfg, params, min_edge, min_sep, ds
+        )
+        norm = out["marker_corners"] / jnp.array(
+            [float(w), float(h)], dtype=jnp.float32
+        )
+        rot, tr, err = pose_mod.solve_normalized_batch(norm, 40.0)
+        return {
+            "marker_valid": out["marker_valid"],
+            "marker_id": out["marker_id"],
+            "marker_corners": out["marker_corners"],
+            "pose_rotations": rot,
+            "pose_translations": tr,
+            "pose_errors": err,
+        }
+
+    step = jax.jit(jax.vmap(one))
+
+    # Realistic frames: 8 markers per 1080p frame (config 3) + noise.
+    rng = np.random.default_rng(0)
+    frame = np.full((h, w), 255, dtype=np.uint8)
+    for i in range(8):
+        img, _, _ = random_marker_scene(
+            dictionary,
+            int(rng.integers(0, len(dictionary))),
+            (480, 360),
+            rng=rng,
+            min_scale=0.45,
+            max_scale=0.7,
+            noise_sigma=0.0,
+        )
+        y0 = (i // 4) * 520 + 40
+        x0 = (i % 4) * 480 + 10
+        frame[y0 : y0 + 360, x0 : x0 + 480] = np.minimum(
+            frame[y0 : y0 + 360, x0 : x0 + 480], img
+        )
+    frame = np.clip(
+        frame.astype(np.float64) + rng.normal(0, 2.0, frame.shape), 0, 255
+    ).astype(np.uint8)
+    frames = jnp.asarray(np.broadcast_to(frame, (batch, h, w)).copy())
+
+    # Warm-up / compile.
+    out = step(frames)
+    jax.block_until_ready(out)
+
+    # Sanity: markers must actually be found (guards against benching a
+    # degenerate pipeline).
+    n_found = int(np.asarray(out["marker_valid"][0]).sum())
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(frames)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = batch * iters / dt
+    target = 10000.0
+    print(
+        json.dumps(
+            {
+                "metric": "1080p_detect_pose_fps_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / target, 4),
+                "batch": batch,
+                "markers_found_frame0": n_found,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
