@@ -52,7 +52,8 @@ class QuadParams:
     min_component_px: int = 3  # in coarse pixels
     containment_slack: float = 1.5  # in coarse cells
     min_containment: float = 0.80
-    refine_window: int = 32  # full-res corner refinement window (px)
+    open_radius: int = 2  # denoise opening radius before pooling
+    refine_window: int = 0  # 0 = auto from coarse factor
     refine: bool = True
 
 
@@ -64,14 +65,59 @@ def choose_coarse_factor(h: int, w: int, target: int = 192) -> int:
 # --------------------------------------------------------------------------
 # Coarse mask + connected-component labelling
 # --------------------------------------------------------------------------
+def _erode3(m: jnp.ndarray) -> jnp.ndarray:
+    p = jnp.pad(m, 1, constant_values=True)
+    out = m
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            out = out & p[dy : dy + m.shape[0], dx : dx + m.shape[1]]
+    return out
+
+
+def _dilate3(m: jnp.ndarray) -> jnp.ndarray:
+    p = jnp.pad(m, 1, constant_values=False)
+    out = m
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            out = out | p[dy : dy + m.shape[0], dx : dx + m.shape[1]]
+    return out
+
+
+def open_mask(mask: jnp.ndarray, radius: int = 2) -> jnp.ndarray:
+    """Morphological opening with a (2r+1)^2 structuring element.
+
+    Kills salt-and-pepper noise from the adaptive threshold (a (2r+1)-square
+    of solid black is needed to survive) while keeping the >=(2r+1)px-wide
+    black bands markers produce.  Pure shifted and/or ops — fuses into the
+    threshold stage.
+    """
+    out = mask
+    for _ in range(radius):
+        out = _erode3(out)
+    for _ in range(radius):
+        out = _dilate3(out)
+    return out
+
+
+def open3(mask: jnp.ndarray) -> jnp.ndarray:
+    """3x3 opening (kept for tests/back-compat)."""
+    return open_mask(mask, radius=1)
+
+
 def pool_black(black: jnp.ndarray, ds: int) -> jnp.ndarray:
-    """Majority-pool an (H, W) bool mask by ds (pad with False)."""
+    """Pool a *denoised* (H, W) bool mask by ds (pad with False).
+
+    A coarse cell is black when it holds at least ds/2 black pixels — i.e.
+    any >=3px band crossing the cell registers, but residual specks don't.
+    (Majority pooling would erase the thin bands the adaptive threshold
+    leaves along thick marker borders.)
+    """
     h, w = black.shape
     hp = -(-h // ds) * ds
     wp = -(-w // ds) * ds
     m = jnp.pad(black, ((0, hp - h), (0, wp - w)))
     pooled = m.reshape(hp // ds, ds, wp // ds, ds).sum(axis=(1, 3))
-    return pooled * 2 > ds * ds  # strict majority
+    return pooled * 2 >= max(ds, 2)
 
 
 def label_components(black: jnp.ndarray, rounds: int) -> jnp.ndarray:
@@ -246,13 +292,17 @@ def refine_corners(
 
     For corner q with component centroid c, the refined corner is the black
     pixel p in a window around q (belonging to the same coarse component, or
-    to an unlabeled mixed cell) maximising dot(p, q - c).  Falls back to the
-    coarse corner when the window holds no valid pixel.
+    to an unlabeled mixed cell) maximising dot(p, q - c).  Candidates are
+    clamped to Chebyshev distance <= ds+2 of the coarse corner — the true
+    corner can only be one pooling quantum away, so anything farther is
+    noise.  Falls back to the coarse corner when the window holds no valid
+    pixel.
     """
     h, w = black.shape
     hc, wc = labels.shape
     wn = window
     k = quads.shape[0]
+    clamp_r = ds + 2
 
     dirs = quads - centroids[:, None, :]  # (K, 4, 2)
     dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-6)
@@ -280,7 +330,7 @@ def refine_corners(
         indexing="ij",
     )
 
-    def one(tlx_, tly_, dir_, root_, dil_):
+    def one(tlx_, tly_, dir_, root_, dil_, corner_):
         win = jax.lax.dynamic_slice(black, (tly_, tlx_), (wn, wn))
         yy = tly_ + oy
         xx = tlx_ + ox
@@ -289,7 +339,10 @@ def refine_corners(
         cell = labels[cyy, cxx]
         cell_black = coarse_black[cyy, cxx]
         near_root = dil_[cyy, cxx]
-        ok = win & ((cell == root_) | (~cell_black & near_root))
+        near_corner = (
+            jnp.abs(xx.astype(jnp.float32) - corner_[0]) <= clamp_r
+        ) & (jnp.abs(yy.astype(jnp.float32) - corner_[1]) <= clamp_r)
+        ok = win & near_corner & ((cell == root_) | (~cell_black & near_root))
         score = xx.astype(jnp.float32) * dir_[0] + yy.astype(jnp.float32) * dir_[1]
         score = jnp.where(ok, score, -jnp.inf)
         best = jnp.argmax(score.reshape(-1))
@@ -299,10 +352,10 @@ def refine_corners(
         return bx, by, has
 
     one_v = jax.vmap(
-        jax.vmap(one, in_axes=(0, 0, 0, None, None)),
-        in_axes=(0, 0, 0, 0, 0),
+        jax.vmap(one, in_axes=(0, 0, 0, None, None, 0)),
+        in_axes=(0, 0, 0, 0, 0, 0),
     )
-    bx, by, has = one_v(tlx, tly, dirs, roots, dilated)
+    bx, by, has = one_v(tlx, tly, dirs, roots, dilated, quads)
     refined = jnp.stack([bx, by], axis=-1)
     return jnp.where(has[..., None], refined, quads)
 
@@ -380,13 +433,14 @@ def find_quads(
     """
     h, w = white.shape
     ds = coarse_factor or choose_coarse_factor(h, w)
-    black = ~white
+    black = open_mask(~white, params.open_radius)
     coarse = pool_black(black, ds)
     labels = label_components(coarse, params.ccl_rounds)
     fit = fit_quads(labels, ds, params)
     quads, valid = fit["quads"], fit["valid"]
 
     if params.refine and ds > 1:
+        window = params.refine_window or min(64, max(12, 2 * ds + 8))
         quads = refine_corners(
             black,
             labels,
@@ -395,7 +449,7 @@ def find_quads(
             fit["centroids"],
             fit["roots"],
             ds,
-            params.refine_window,
+            window,
         )
 
     quads = enforce_clockwise(quads)

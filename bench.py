@@ -75,7 +75,7 @@ def main() -> None:
             noise_sigma=0.0,
         )
         y0 = (i // 4) * 520 + 40
-        x0 = (i % 4) * 480 + 10
+        x0 = (i % 4) * 470 + 10
         frame[y0 : y0 + 360, x0 : x0 + 480] = np.minimum(
             frame[y0 : y0 + 360, x0 : x0 + 480], img
         )

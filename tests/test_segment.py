@@ -115,13 +115,29 @@ def test_discard_too_near_keeps_distant():
     assert out.all()
 
 
-def test_pool_black_majority():
+def test_pool_black_band_sensitivity():
     m = np.zeros((8, 8), dtype=bool)
-    m[0:4, 0:4] = True  # exactly half of the 4x4 upper-left... no: fills cell
+    m[0:4, 0:4] = True
     pooled = np.asarray(segment.pool_black(jnp.asarray(m), 4))
     assert pooled[0, 0] and not pooled[0, 1] and not pooled[1, 1]
-    # Strict majority: exactly half is not enough.
-    m2 = np.zeros((4, 4), dtype=bool)
-    m2[:2, :] = True
-    pooled2 = np.asarray(segment.pool_black(jnp.asarray(m2), 4))
-    assert not pooled2[0, 0]
+    # A 3px band crossing a cell must register (count >= ds/2)...
+    m2 = np.zeros((8, 8), dtype=bool)
+    m2[2:5, :] = True
+    pooled2 = np.asarray(segment.pool_black(jnp.asarray(m2), 8))
+    assert pooled2[0, 0]
+    # ...but a single residual speck must not.
+    m3 = np.zeros((8, 8), dtype=bool)
+    m3[3, 3] = True
+    pooled3 = np.asarray(segment.pool_black(jnp.asarray(m3), 8))
+    assert not pooled3[0, 0]
+
+
+def test_open3_denoises():
+    rng = np.random.default_rng(0)
+    noise = rng.random((64, 64)) < 0.3  # salt-and-pepper
+    band = np.zeros((64, 64), dtype=bool)
+    band[30:38, :] = True
+    cleaned = np.asarray(segment.open3(jnp.asarray(noise & ~band)))
+    assert cleaned.mean() < 0.02  # specks gone
+    cleaned_band = np.asarray(segment.open3(jnp.asarray(band)))
+    assert cleaned_band[33, 30:40].all()  # band interior intact
