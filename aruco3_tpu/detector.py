@@ -53,8 +53,9 @@ class DetectorConfig:
     # --- TPU pipeline capacity/behaviour knobs (not in the reference) ---
     max_candidates: int = 32
     coarse_factor: int | None = None  # None = auto from image size
-    ccl_rounds: int = 16
+    ccl_rounds: int = 4
     refine_corners: bool = True
+    warp_impl: str = "mxu"  # "mxu" (pyramid+matmul) | "gather" (oracle)
     use_pallas: str = "auto"  # "auto" | "never" (frontend kernel selection)
 
 
@@ -213,7 +214,18 @@ def detect_arrays(
 
     s = cfg.homography_sample_size
     H, h_valid = rectify.homography_square_to_quad(quads, s)
-    patches = rectify.warp_patches(grey, H, s)
+    if cfg.warp_impl == "gather":
+        patches = rectify.warp_patches(grey, H, s)
+    else:
+        import math
+
+        levels = max(
+            1,
+            int(math.ceil(math.log2(max(image.shape[0], image.shape[1]) / 60.0)))
+            + 1,
+        )
+        pyramid = rectify.build_pyramid(grey, levels)
+        patches = rectify.warp_patches_mxu(pyramid, H, quads, s)
 
     mark_size = dictionary.get_mark_size()
     bits, border_valid = rectify.decode_patches(patches, mark_size)

@@ -83,13 +83,17 @@ def box_sum_and_area(grey: jnp.ndarray, radius: int):
 
 
 def adaptive_threshold(grey: jnp.ndarray, window: int) -> jnp.ndarray:
-    """Boolean white mask: pixel > clamped-box mean (exact integer compare).
+    """Boolean white mask: pixel >= clamped-box mean (exact integer compare).
 
     ``window`` is the box *radius*, matching imageproc's ``block_radius``
     argument as used by the reference (aruco.rs:61, default 7 -> 15x15 box).
+    Ties (pixel exactly equal to the box mean, i.e. flat regions) classify
+    as foreground/white: flat background stays white, which the hole-fill
+    stage of the quad extractor relies on, and only genuinely
+    below-local-mean pixels count as marker ink.
     """
     sums, areas = box_sum_and_area(grey, window)
-    return grey.astype(jnp.int32) * areas > sums
+    return grey.astype(jnp.int32) * areas >= sums
 
 
 def threshold_u8(grey: jnp.ndarray, window: int) -> jnp.ndarray:

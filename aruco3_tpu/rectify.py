@@ -84,7 +84,154 @@ def homography_square_to_quad(
 
 
 # --------------------------------------------------------------------------
-# Bilinear patch warp
+# Bilinear patch warp — MXU path (pyramid + window slice + weight matmul)
+# --------------------------------------------------------------------------
+_WARP_WIN = 64  # VMEM window side; markers bigger than ~60px/level go up a level
+
+
+def build_pyramid(grey: jnp.ndarray, levels: int) -> list[jnp.ndarray]:
+    """2x2 box-mean image pyramid, float32, every level padded to >=64.
+
+    Level l pixel (i, j) covers image pixels [i*2^l, (i+1)*2^l); its center
+    sits at image coord (i + 0.5) * 2^l - 0.5.
+    """
+    out = []
+    img = grey.astype(jnp.float32)
+    for _ in range(levels):
+        h, w = img.shape
+        ph = max(h, _WARP_WIN) + (h % 2)
+        pw = max(w, _WARP_WIN) + (w % 2)
+        padded = jnp.pad(img, ((0, ph - h), (0, pw - w)))
+        out.append(padded)
+        img = (
+            padded.reshape(ph // 2, 2, pw // 2, 2).sum(axis=(1, 3)) * 0.25
+        )
+    return out
+
+
+def warp_patches_mxu(
+    pyramid: list[jnp.ndarray],
+    H: jnp.ndarray,
+    quads: jnp.ndarray,
+    patch_size: int,
+) -> jnp.ndarray:
+    """Gather-free perspective warp: one small matmul per candidate.
+
+    Per candidate: pick the pyramid level where the quad's bbox fits a
+    64x64 window, dynamic-slice that window, and evaluate all S*S bilinear
+    samples as T = Wx @ window^T followed by a row-wise weighted sum with
+    Wy — the bilinear weights live in two dense (S^2, 64) separable weight
+    matrices, so the whole warp rides the MXU with zero gathers (TPU
+    gathers serialize; see segment.label_components for the same story).
+
+    Samples outside the image resolve to 0 (the reference's black default,
+    aruco.rs:253): out-of-window coordinates produce all-zero weight rows.
+    For quads smaller than the window the warp samples pyramid level 0,
+    i.e. it is exactly the reference's bilinear interpolation; larger quads
+    sample a box-filtered level, which anti-aliases where the reference
+    aliases (documented deviation).
+    """
+    levels = len(pyramid)
+    s = patch_size
+    k = H.shape[0]
+    win = _WARP_WIN
+
+    # Patch-grid sample coords in image space.
+    ys, xs = jnp.meshgrid(
+        jnp.arange(s, dtype=jnp.float32),
+        jnp.arange(s, dtype=jnp.float32),
+        indexing="ij",
+    )
+    pix = jnp.stack(
+        [xs, ys, jnp.ones_like(xs)], axis=-1
+    ).reshape(-1, 3)  # (S2, 3)
+    src = jnp.einsum("kij,pj->kpi", H, pix, precision=_HIGHEST)
+    wdiv = src[..., 2]
+    wsafe = jnp.where(jnp.abs(wdiv) < 1e-12, 1.0, wdiv)
+    sx = src[..., 0] / wsafe  # (K, S2) image-space x
+    sy = src[..., 1] / wsafe
+    bad = jnp.abs(wdiv) < 1e-12
+
+    # Level selection from the quad bbox (margin for refinement jitter).
+    bmin = jnp.min(quads, axis=-2)  # (K, 2)
+    bmax = jnp.max(quads, axis=-2)
+    side = jnp.max(bmax - bmin, axis=-1) + 4.0  # (K,)
+    lvl = jnp.clip(
+        jnp.ceil(jnp.log2(jnp.maximum(side / (win - 4.0), 1e-3))),
+        0,
+        levels - 1,
+    ).astype(jnp.int32)
+    center = (bmin + bmax) * 0.5  # (K, 2) image coords
+
+    jcols = jnp.arange(win, dtype=jnp.float32)
+
+    def sample_at_level(level: int):
+        img = pyramid[level]
+        hl, wl = img.shape
+        scale = float(2**level)
+        # Window top-left in level coords.
+        cl = (center + 0.5) / scale - 0.5  # (K, 2) level coords
+        tlx = jnp.clip(
+            jnp.round(cl[:, 0]).astype(jnp.int32) - win // 2, 0, wl - win
+        )
+        tly = jnp.clip(
+            jnp.round(cl[:, 1]).astype(jnp.int32) - win // 2, 0, hl - win
+        )
+        windows = jax.vmap(
+            lambda ty, tx: jax.lax.dynamic_slice(img, (ty, tx), (win, win))
+        )(tly, tlx)  # (K, win, win)
+        # Sample coords in window space.
+        ux = (sx + 0.5) / scale - 0.5 - tlx[:, None].astype(jnp.float32)
+        uy = (sy + 0.5) / scale - 0.5 - tly[:, None].astype(jnp.float32)
+        return windows, ux, uy
+
+    # Compute windows/coords at every level, then select per candidate.
+    # (A data-dependent level cannot pick an array of different shape under
+    # jit; computing L cheap slices and selecting is branch-free and fast.)
+    all_windows = []
+    all_ux = []
+    all_uy = []
+    for level in range(levels):
+        wdw, ux, uy = sample_at_level(level)
+        all_windows.append(wdw)
+        all_ux.append(ux)
+        all_uy.append(uy)
+    sel = lambda stack: sum(  # noqa: E731
+        jnp.where(
+            (lvl == level)[:, None, None]
+            if stack[0].ndim == 3
+            else (lvl == level)[:, None],
+            stack[level],
+            0.0,
+        )
+        for level in range(levels)
+    )
+    windows = sel(all_windows)  # (K, win, win)
+    ux = sel(all_ux)  # (K, S2)
+    uy = sel(all_uy)
+
+    # Separable bilinear weights: (K, S2, win) each.
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(ux[..., None] - jcols))
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(uy[..., None] - jcols))
+
+    # T[k, s, y] = sum_x wx[k, s, x] * windows[k, y, x]
+    t = jnp.einsum(
+        "ksx,kyx->ksy",
+        wx,
+        windows,
+        precision=_HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    vals = jnp.sum(wy * t, axis=-1)  # (K, S2)
+
+    # Out-of-image samples land in the zero padding of the pyramid levels
+    # (black, the reference default); degenerate homographies are masked.
+    vals = jnp.where(bad, 0.0, vals)
+    return vals.reshape(k, s, s)
+
+
+# --------------------------------------------------------------------------
+# Bilinear patch warp — gather path (portable oracle)
 # --------------------------------------------------------------------------
 def warp_patches(
     grey: jnp.ndarray, H: jnp.ndarray, patch_size: int

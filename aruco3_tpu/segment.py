@@ -48,7 +48,8 @@ class QuadParams:
 
     max_candidates: int = 32
     coarse_factor: int = 8  # downsample factor for the CCL grid
-    ccl_rounds: int = 16  # label-propagation rounds (each: 2 props + 2 jumps)
+    ccl_rounds: int = 4  # label scan rounds (solid blobs converge in 2-3)
+    fill_rounds: int = 5  # border-reachability flood rounds for hole fill
     min_component_px: int = 3  # in coarse pixels
     containment_slack: float = 1.5  # in coarse cells
     min_containment: float = 0.80
@@ -115,17 +116,112 @@ def pool_black(black: jnp.ndarray, ds: int) -> jnp.ndarray:
     h, w = black.shape
     hp = -(-h // ds) * ds
     wp = -(-w // ds) * ds
-    m = jnp.pad(black, ((0, hp - h), (0, wp - w)))
+    # Cast before reducing: bool reductions over the tiled reshape lower
+    # to a pathological layout on TPU (~100x slower than int32).
+    m = jnp.pad(black, ((0, hp - h), (0, wp - w))).astype(jnp.int32)
     pooled = m.reshape(hp // ds, ds, wp // ds, ds).sum(axis=(1, 3))
     return pooled * 2 >= max(ds, 2)
 
 
-def label_components(black: jnp.ndarray, rounds: int) -> jnp.ndarray:
-    """8-connected CCL by neighbour-min propagation + pointer jumping.
+def _segmented_min_scan(l, mask, sentinel, axis):
+    """Bidirectional segmented running-min along ``axis`` by doubling.
 
-    black: (Hc, Wc) bool.  Returns (Hc, Wc) int32 labels: each black pixel
-    holds the linear index of its component representative (the component's
+    Each in-mask element receives the min over its contiguous in-mask run
+    (both directions).  Out-of-mask elements act as segment boundaries and
+    come back as the sentinel.  Shift-by-powers-of-two with blocked-flag
+    bookkeeping — pure vector min/or/select ops, no gathers, and ~4x
+    cheaper than jax.lax.associative_scan on TPU.
+    """
+    n = l.shape[axis]
+    shape = [1] * l.ndim
+    shape[axis] = -1
+    idx_ax = jnp.arange(n).reshape(shape)
+
+    lf = lb = jnp.where(mask, l, sentinel)
+    bf = bb = ~mask
+    shift = 1
+    while shift < n:
+        sl = jnp.roll(lf, shift, axis=axis)
+        sb = jnp.roll(bf, shift, axis=axis)
+        wrap = idx_ax < shift
+        sl = jnp.where(wrap, sentinel, sl)
+        sb = sb | wrap
+        lf = jnp.where(bf, lf, jnp.minimum(lf, sl))
+        bf = bf | sb
+
+        sl = jnp.roll(lb, -shift, axis=axis)
+        sb = jnp.roll(bb, -shift, axis=axis)
+        wrap = idx_ax >= n - shift
+        sl = jnp.where(wrap, sentinel, sl)
+        sb = sb | wrap
+        lb = jnp.where(bb, lb, jnp.minimum(lb, sl))
+        bb = bb | sb
+        shift *= 2
+    return jnp.where(mask, jnp.minimum(lf, lb), sentinel)
+
+
+def fill_holes(black: jnp.ndarray, rounds: int) -> jnp.ndarray:
+    """Fill regions enclosed by black: white cells unreachable from the
+    image border through white become black.
+
+    This is the step that makes marker components *solid*: a marker is a
+    black ring whose interior (the code cells) is enclosed, so after
+    filling each marker is one solid quad blob.  Solid convex regions then
+    converge under row/column label scans in 2-3 rounds regardless of
+    rotation — whereas a thin rotated ring would need O(perimeter) rounds
+    (TPU has no fast gather, so pointer jumping is not an option).
+
+    Reachability is a boolean flood: seeded at white border cells,
+    transported along whole white runs per round via segmented scans, with
+    a neighbour-OR step for diagonal corridors.
+    """
+    hc, wc = black.shape
+    white = ~black
+    reach = jnp.zeros_like(white)
+    border = jnp.zeros_like(white)
+    border = border.at[0, :].set(True)
+    border = border.at[-1, :].set(True)
+    border = border.at[:, 0].set(True)
+    border = border.at[:, -1].set(True)
+    reach = white & border
+
+    # Encode reach as int (0 reached / 1 not) so the min-scan machinery
+    # doubles as an or-flood: min over a run == "any reached in run".
+    def body(_, reach):
+        r = reach
+        # neighbour-OR (8-way) for diagonal hops
+        pads = jnp.pad(r, 1, constant_values=False)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                if dy == 1 and dx == 1:
+                    continue
+                r = r | pads[dy : dy + hc, dx : dx + wc]
+        r = r & white
+        # run transport along rows and columns
+        v = jnp.where(r, 0, 1)
+        v = _segmented_min_scan(v, white, jnp.int32(2), axis=1)
+        r = white & (v == 0)
+        v = jnp.where(r, 0, 1)
+        v = _segmented_min_scan(v, white, jnp.int32(2), axis=0)
+        return white & (v == 0)
+
+    reach = jax.lax.fori_loop(0, rounds, body, reach)
+    return black | (white & ~reach)
+
+
+def label_components(black: jnp.ndarray, rounds: int) -> jnp.ndarray:
+    """CCL by segmented min-scans + 8-neighbour min sweeps.
+
+    black: (Hc, Wc) bool — expected to be *hole-filled* (solid blobs, see
+    ``fill_holes``).  Returns (Hc, Wc) int32 labels: each black pixel holds
+    the linear index of its component representative (the component's
     minimum linear index); white pixels hold the sentinel P = Hc*Wc.
+
+    TPU-native rationale: per-element gathers (classic pointer jumping)
+    serialize on TPU (~100x slower than vector ops), so each round instead
+    transports labels across whole rows/columns with segmented min-scans
+    plus one 8-neighbour min for diagonal connections.  Solid convex blobs
+    converge in 2-3 rounds independent of size or rotation.
     """
     hc, wc = black.shape
     p = hc * wc
@@ -134,32 +230,19 @@ def label_components(black: jnp.ndarray, rounds: int) -> jnp.ndarray:
     lbl = jnp.where(black, idx, sentinel)
 
     def neighbor_min(l):
-        big = sentinel
         pads = jnp.pad(l, 1, constant_values=p)
-        stacks = [
-            pads[0:-2, 1:-1],
-            pads[2:, 1:-1],
-            pads[1:-1, 0:-2],
-            pads[1:-1, 2:],
-            pads[0:-2, 0:-2],
-            pads[0:-2, 2:],
-            pads[2:, 0:-2],
-            pads[2:, 2:],
-        ]
         m = l
-        for s in stacks:
-            m = jnp.minimum(m, s)
-        return jnp.where(black, m, big)
-
-    def jump(l):
-        flat = jnp.concatenate([l.reshape(-1), sentinel[None]])
-        return flat[l]  # index p -> sentinel slot
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                if dy == 1 and dx == 1:
+                    continue
+                m = jnp.minimum(m, pads[dy : dy + hc, dx : dx + wc])
+        return jnp.where(black, m, sentinel)
 
     def body(_, l):
         l = neighbor_min(l)
-        l = jump(l)
-        l = neighbor_min(l)
-        l = jump(l)
+        l = _segmented_min_scan(l, black, sentinel, axis=1)
+        l = _segmented_min_scan(l, black, sentinel, axis=0)
         return l
 
     return jax.lax.fori_loop(0, rounds, body, lbl)
@@ -280,41 +363,27 @@ def fit_quads(
 # --------------------------------------------------------------------------
 def refine_corners(
     black: jnp.ndarray,
-    labels: jnp.ndarray,
-    coarse_black: jnp.ndarray,
     quads: jnp.ndarray,
     centroids: jnp.ndarray,
-    roots: jnp.ndarray,
     ds: int,
     window: int,
 ):
     """Snap each coarse corner to the extreme full-res black pixel.
 
-    For corner q with component centroid c, the refined corner is the black
-    pixel p in a window around q (belonging to the same coarse component, or
-    to an unlabeled mixed cell) maximising dot(p, q - c).  Candidates are
-    clamped to Chebyshev distance <= ds+2 of the coarse corner — the true
-    corner can only be one pooling quantum away, so anything farther is
-    noise.  Falls back to the coarse corner when the window holds no valid
-    pixel.
+    For corner q with component centroid c, the refined corner is the
+    (denoised) black pixel p within Chebyshev distance ds+2 of q maximising
+    dot(p, q - c).  The clamp radius equals one pooling quantum — the true
+    corner cannot be farther from the coarse corner than that, so anything
+    beyond is another structure.  Falls back to the coarse corner when the
+    window holds no valid pixel.  Gather-free: one dynamic_slice per corner
+    plus vector reductions.
     """
     h, w = black.shape
-    hc, wc = labels.shape
     wn = window
-    k = quads.shape[0]
     clamp_r = ds + 2
 
     dirs = quads - centroids[:, None, :]  # (K, 4, 2)
     dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-6)
-
-    # Coarse membership, dilated by one cell so mixed boundary cells (not
-    # majority-black, hence unlabeled) next to the component still count.
-    member_img = labels[None, :, :] == roots[:, None, None]  # (K, Hc, Wc)
-    padm = jnp.pad(member_img, ((0, 0), (1, 1), (1, 1)))
-    dilated = jnp.zeros_like(member_img)
-    for dy in (0, 1, 2):
-        for dx in (0, 1, 2):
-            dilated = dilated | padm[:, dy : dy + hc, dx : dx + wc]
 
     # Window top-left per (k, corner), clipped so slices stay in bounds.
     tlx = jnp.clip(
@@ -330,20 +399,15 @@ def refine_corners(
         indexing="ij",
     )
 
-    def one(tlx_, tly_, dir_, root_, dil_, corner_):
+    def one(tlx_, tly_, dir_, corner_):
         win = jax.lax.dynamic_slice(black, (tly_, tlx_), (wn, wn))
-        yy = tly_ + oy
-        xx = tlx_ + ox
-        cyy = jnp.clip(yy // ds, 0, hc - 1)
-        cxx = jnp.clip(xx // ds, 0, wc - 1)
-        cell = labels[cyy, cxx]
-        cell_black = coarse_black[cyy, cxx]
-        near_root = dil_[cyy, cxx]
-        near_corner = (
-            jnp.abs(xx.astype(jnp.float32) - corner_[0]) <= clamp_r
-        ) & (jnp.abs(yy.astype(jnp.float32) - corner_[1]) <= clamp_r)
-        ok = win & near_corner & ((cell == root_) | (~cell_black & near_root))
-        score = xx.astype(jnp.float32) * dir_[0] + yy.astype(jnp.float32) * dir_[1]
+        xx = (tlx_ + ox).astype(jnp.float32)
+        yy = (tly_ + oy).astype(jnp.float32)
+        near_corner = (jnp.abs(xx - corner_[0]) <= clamp_r) & (
+            jnp.abs(yy - corner_[1]) <= clamp_r
+        )
+        ok = win & near_corner
+        score = xx * dir_[0] + yy * dir_[1]
         score = jnp.where(ok, score, -jnp.inf)
         best = jnp.argmax(score.reshape(-1))
         has = jnp.any(ok)
@@ -351,11 +415,8 @@ def refine_corners(
         by = (tly_ + best // wn).astype(jnp.float32)
         return bx, by, has
 
-    one_v = jax.vmap(
-        jax.vmap(one, in_axes=(0, 0, 0, None, None, 0)),
-        in_axes=(0, 0, 0, 0, 0, 0),
-    )
-    bx, by, has = one_v(tlx, tly, dirs, roots, dilated, quads)
+    one_v = jax.vmap(jax.vmap(one, in_axes=(0, 0, 0, 0)), in_axes=(0, 0, 0, 0))
+    bx, by, has = one_v(tlx, tly, dirs, quads)
     refined = jnp.stack([bx, by], axis=-1)
     return jnp.where(has[..., None], refined, quads)
 
@@ -435,22 +496,14 @@ def find_quads(
     ds = coarse_factor or choose_coarse_factor(h, w)
     black = open_mask(~white, params.open_radius)
     coarse = pool_black(black, ds)
-    labels = label_components(coarse, params.ccl_rounds)
+    filled = fill_holes(coarse, params.fill_rounds)
+    labels = label_components(filled, params.ccl_rounds)
     fit = fit_quads(labels, ds, params)
     quads, valid = fit["quads"], fit["valid"]
 
     if params.refine and ds > 1:
         window = params.refine_window or min(64, max(12, 2 * ds + 8))
-        quads = refine_corners(
-            black,
-            labels,
-            coarse,
-            quads,
-            fit["centroids"],
-            fit["roots"],
-            ds,
-            window,
-        )
+        quads = refine_corners(black, quads, fit["centroids"], ds, window)
 
     quads = enforce_clockwise(quads)
     valid = valid & min_edge_gate(quads, min_edge_length)

@@ -16,7 +16,7 @@ def brute_force_threshold(grey: np.ndarray, r: int) -> np.ndarray:
             y0, y1 = max(0, y - r), min(h - 1, y + r)
             x0, x1 = max(0, x - r), min(w - 1, x + r)
             box = g[y0 : y1 + 1, x0 : x1 + 1]
-            out[y, x] = g[y, x] * box.size > box.sum()
+            out[y, x] = g[y, x] * box.size >= box.sum()
     return out
 
 
@@ -28,11 +28,12 @@ def test_adaptive_threshold_matches_bruteforce(rng):
         np.testing.assert_array_equal(ours, oracle)
 
 
-def test_adaptive_threshold_flat_is_black():
-    # Exact-mean pixels are NOT above the mean -> classified background.
+def test_adaptive_threshold_flat_is_white():
+    # Exact-mean pixels (flat regions) classify as foreground/white — the
+    # hole-fill quad extraction relies on flat background staying white.
     grey = np.full((32, 32), 200, dtype=np.uint8)
     ours = np.asarray(frontend.adaptive_threshold(jnp.asarray(grey), 7))
-    assert not ours.any()
+    assert ours.all()
 
 
 def test_adaptive_threshold_edge_structure():
