@@ -21,6 +21,7 @@ is the portable reference implementation and the correctness oracle.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,13 +51,30 @@ def rgb_to_luma_u8(image: jnp.ndarray) -> jnp.ndarray:
 def _clamped_window_sum_1d(
     cum: jnp.ndarray, length: int, radius: int, axis: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Windowed sums along ``axis`` from an exclusive cumsum, with the
-    window clamped to [0, length).  Returns (sums, counts)."""
+    """Windowed sums along ``axis`` from an exclusive cumsum of length+1,
+    with the window clamped to [0, length).  Returns (sums, counts).
+
+    Expressed as edge-clamped pad + two static slices (no take/gather —
+    TPU lowers static gathers poorly).
+    """
+    # cum has length+1 entries along `axis` (exclusive prefix sums).
+    # Window sum at i = cum[min(i + r, L-1) + 1] - cum[max(i - r, 0)].
+    hi_all = jax.lax.slice_in_dim(cum, 1, length + 1, axis=axis)
+    lo_all = jax.lax.slice_in_dim(cum, 0, length, axis=axis)
+    # Edge-clamp by padding with the boundary values.
+    pad_hi = [(0, 0)] * cum.ndim
+    pad_hi[axis] = (0, radius)
+    pad_lo = [(0, 0)] * cum.ndim
+    pad_lo[axis] = (radius, 0)
+    hi = jnp.pad(hi_all, pad_hi, mode="edge")
+    lo = jnp.pad(lo_all, pad_lo, mode="edge")
+    hi = jax.lax.slice_in_dim(hi, radius, radius + length, axis=axis)
+    lo = jax.lax.slice_in_dim(lo, 0, length, axis=axis)
+    sums = hi - lo
     idx = np.arange(length)
-    lo = np.maximum(idx - radius, 0)
-    hi = np.minimum(idx + radius, length - 1) + 1
-    sums = jnp.take(cum, hi, axis=axis) - jnp.take(cum, lo, axis=axis)
-    counts = (hi - lo).astype(np.int32)
+    counts = (
+        np.minimum(idx + radius, length - 1) + 1 - np.maximum(idx - radius, 0)
+    ).astype(np.int32)
     return sums, counts
 
 
