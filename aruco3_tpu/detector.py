@@ -98,7 +98,11 @@ class Detector:
     # ---------------------------------------------------------------- jit
     @functools.lru_cache(maxsize=32)
     def _compiled(self, height: int, width: int, channels: int):
-        """Compile the frame pipeline for a given static image shape."""
+        """Compile the batched frame pipeline for a static image shape.
+
+        The returned jitted fn takes (B, H, W[, C]) uint8 (any B; retraced
+        per batch size).
+        """
         cfg = self.config
         dictionary = self.dictionary
         ds = cfg.coarse_factor or segment.choose_coarse_factor(height, width)
@@ -111,9 +115,9 @@ class Detector:
         min_edge = min(width, height) * cfg.min_side_length_factor
         min_sep = min(width, height) * cfg.min_corner_separation_factor
 
-        def pipeline(image: jnp.ndarray):
-            return detect_arrays(
-                image,
+        def pipeline(images: jnp.ndarray):
+            return detect_batch_arrays(
+                images,
                 dictionary,
                 cfg,
                 params,
@@ -136,18 +140,18 @@ class Detector:
             arr = np.clip(arr, 0, 255).astype(np.uint8)
         channels = 1 if arr.ndim == 2 else arr.shape[-1]
         fn = self._compiled(arr.shape[0], arr.shape[1], channels)
-        out = jax.device_get(fn(jnp.asarray(arr)))
-        return self._to_host(out)
+        out = jax.device_get(fn(jnp.asarray(arr)[None]))
+        return self._to_host(jax.tree_util.tree_map(lambda x: x[0], out))
 
     def detect_batch(self, images: jnp.ndarray):
         """(B, H, W[, C]) uint8 frames -> batched device-side results.
 
         Stays on device (no host sync); fields carry a leading batch axis.
         """
-        b, h, w = images.shape[0], images.shape[1], images.shape[2]
+        h, w = images.shape[1], images.shape[2]
         channels = 1 if images.ndim == 3 else images.shape[-1]
         fn = self._compiled(h, w, channels)
-        return jax.vmap(fn)(images)
+        return fn(images)
 
     def _to_host(self, out) -> Detection:
         quads = np.asarray(out["quads"])
@@ -187,6 +191,57 @@ class Detector:
 # --------------------------------------------------------------------------
 # The jitted frame pipeline (pure function of arrays + static config)
 # --------------------------------------------------------------------------
+def _use_pallas(cfg: DetectorConfig) -> bool:
+    """Pallas frontend on TPU-like backends; XLA path on CPU / when off."""
+    if cfg.use_pallas == "never":
+        return False
+    if cfg.use_pallas == "always":
+        return True
+    return jax.default_backend() not in ("cpu",)
+
+
+def detect_batch_arrays(
+    images: jnp.ndarray,
+    dictionary: ARDictionary,
+    cfg: DetectorConfig,
+    params: segment.QuadParams,
+    min_edge: float,
+    min_sep: float,
+    ds: int,
+):
+    """Batched detect pipeline: (B, H, W[, C]) u8 -> batched outputs.
+
+    The frontend (threshold+open+pool) runs either as the fused Pallas
+    kernel (TPU) or the XLA reference path (CPU/tests) — bit-identical.
+    The per-frame tail (fill/CCL/fit/refine/warp/decode/match) is vmapped.
+    """
+    grey = frontend.rgb_to_luma_u8(images)  # (B, H, W)
+
+    if _use_pallas(cfg):
+        from .ops.frontend_pallas import fused_threshold_open_pool
+
+        black, coarse = fused_threshold_open_pool(
+            grey, cfg.threshold_window, params.open_radius, ds
+        )
+    else:
+
+        def prep(g):
+            white = frontend.adaptive_threshold(g, cfg.threshold_window)
+            b = segment.open_mask(~white, params.open_radius)
+            return b, segment.pool_black(b, ds)
+
+        black, coarse = jax.vmap(prep)(grey)
+
+    def tail(g, b, c):
+        return _detect_tail(
+            g, b, c, dictionary, cfg, params, min_edge, min_sep, ds
+        )
+
+    out = jax.vmap(tail)(grey, black, coarse)
+    out["grey"] = grey
+    return out
+
+
 def detect_arrays(
     image: jnp.ndarray,
     dictionary: ARDictionary,
@@ -199,16 +254,35 @@ def detect_arrays(
     """Full detect pipeline for one frame; all shapes static.
 
     Returns a dict of device arrays with fixed candidate capacity K:
-      grey (H, W) u8; white (H, W) bool; quads (K, 4, 2) f32;
+      grey (H, W) u8; quads (K, 4, 2) f32;
       quad_valid (K,) bool; patches (K, S, S) f32; marker_valid (K,) bool;
       marker_id / marker_dist / marker_rot (K,) i32; marker_code (K, 2) u32;
       marker_corners (K, 4, 2) f32 (rotated so corner 0 = marker top-left).
     """
     grey = frontend.rgb_to_luma_u8(image)
     white = frontend.adaptive_threshold(grey, cfg.threshold_window)
+    black = segment.open_mask(~white, params.open_radius)
+    coarse = segment.pool_black(black, ds)
+    out = _detect_tail(
+        grey, black, coarse, dictionary, cfg, params, min_edge, min_sep, ds
+    )
+    out["grey"] = grey
+    return out
 
-    found = segment.find_quads(
-        white, params, min_edge, min_sep, coarse_factor=ds
+
+def _detect_tail(
+    grey: jnp.ndarray,
+    black: jnp.ndarray,
+    coarse: jnp.ndarray,
+    dictionary: ARDictionary,
+    cfg: DetectorConfig,
+    params: segment.QuadParams,
+    min_edge: float,
+    min_sep: float,
+    ds: int,
+):
+    found = segment.find_quads_from_masks(
+        black, coarse, params, min_edge, min_sep, ds
     )
     quads, quad_valid = found["quads"], found["valid"]
 
@@ -221,7 +295,7 @@ def detect_arrays(
 
         levels = max(
             1,
-            int(math.ceil(math.log2(max(image.shape[0], image.shape[1]) / 60.0)))
+            int(math.ceil(math.log2(max(grey.shape[0], grey.shape[1]) / 60.0)))
             + 1,
         )
         pyramid = rectify.build_pyramid(grey, levels)
@@ -254,8 +328,6 @@ def detect_arrays(
     )
 
     return {
-        "grey": grey,
-        "white": white,
         "quads": quads,
         "quad_valid": quad_valid,
         "patches": patches,

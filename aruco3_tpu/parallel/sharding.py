@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import pose as pose_mod
 from .. import segment
-from ..detector import Detector, DetectorConfig, detect_arrays
+from ..detector import Detector, DetectorConfig, detect_batch_arrays
 from ..dictionaries import ARDictionary
 
 
@@ -64,9 +64,10 @@ def build_sharded_detect(
     min_edge = min(width, height) * cfg.min_side_length_factor
     min_sep = min(width, height) * cfg.min_corner_separation_factor
 
-    def frame_fn(image):
-        out = detect_arrays(
-            image, dictionary, cfg, params, min_edge, min_sep, ds
+    def local_batch_fn(frames):
+        """Runs on each device over its local frame shard."""
+        out = detect_batch_arrays(
+            frames, dictionary, cfg, params, min_edge, min_sep, ds
         )
         res = {
             "marker_valid": out["marker_valid"],
@@ -91,17 +92,19 @@ def build_sharded_detect(
         return res
 
     in_spec = P(axis, *([None] * (2 if channels == 1 else 3)))
-    in_sharding = NamedSharding(mesh, in_spec)
-    out_sharding = NamedSharding(mesh, P(axis))
 
-    @functools.partial(
-        jax.jit,
-        in_shardings=in_sharding,
-        out_shardings=out_sharding,
+    # shard_map: each chip runs the identical local pipeline on its frame
+    # shard (the Pallas frontend kernel requires per-device execution; the
+    # detect path needs no cross-chip collectives).
+    step = jax.jit(
+        jax.shard_map(
+            local_batch_fn,
+            mesh=mesh,
+            in_specs=in_spec,
+            out_specs=P(axis),
+            check_vma=False,
+        )
     )
-    def step(frames):
-        return jax.vmap(frame_fn)(frames)
-
     return step
 
 

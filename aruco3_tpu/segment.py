@@ -480,22 +480,20 @@ def discard_too_near(
 # --------------------------------------------------------------------------
 # End-to-end quad extraction
 # --------------------------------------------------------------------------
-def find_quads(
-    white: jnp.ndarray,
+def find_quads_from_masks(
+    black: jnp.ndarray,
+    coarse: jnp.ndarray,
     params: QuadParams,
     min_edge_length: float,
     min_corner_separation: float,
-    coarse_factor: int | None = None,
+    ds: int,
 ):
-    """Thresholded white mask -> fixed-capacity candidate quads.
+    """(black full-res, coarse pooled) masks -> fixed-capacity quads.
 
-    white: (H, W) bool adaptive-threshold output (True = foreground).
-    Returns dict: quads (K, 4, 2) float32 clockwise corners, valid (K,) bool.
+    The masks come either from the XLA frontend (open_mask + pool_black) or
+    from the fused Pallas kernel (ops.frontend_pallas) — both produce
+    identical bits.
     """
-    h, w = white.shape
-    ds = coarse_factor or choose_coarse_factor(h, w)
-    black = open_mask(~white, params.open_radius)
-    coarse = pool_black(black, ds)
     filled = fill_holes(coarse, params.fill_rounds)
     labels = label_components(filled, params.ccl_rounds)
     fit = fit_quads(labels, ds, params)
@@ -515,3 +513,24 @@ def find_quads(
         "coarse_factor": ds,
         "sizes": fit["sizes"],
     }
+
+
+def find_quads(
+    white: jnp.ndarray,
+    params: QuadParams,
+    min_edge_length: float,
+    min_corner_separation: float,
+    coarse_factor: int | None = None,
+):
+    """Thresholded white mask -> fixed-capacity candidate quads.
+
+    white: (H, W) bool adaptive-threshold output (True = foreground).
+    Returns dict: quads (K, 4, 2) float32 clockwise corners, valid (K,) bool.
+    """
+    h, w = white.shape
+    ds = coarse_factor or choose_coarse_factor(h, w)
+    black = open_mask(~white, params.open_radius)
+    coarse = pool_black(black, ds)
+    return find_quads_from_masks(
+        black, coarse, params, min_edge_length, min_corner_separation, ds
+    )

@@ -24,7 +24,7 @@ def main() -> None:
     from aruco3_tpu import ARDictionary, Detector, DetectorConfig
     from aruco3_tpu import pose as pose_mod
     from aruco3_tpu import segment
-    from aruco3_tpu.detector import detect_arrays
+    from aruco3_tpu.detector import detect_batch_arrays
     from aruco3_tpu.render import random_marker_scene
 
     h, w = 1080, 1920
@@ -42,9 +42,9 @@ def main() -> None:
     min_edge = min(w, h) * cfg.min_side_length_factor
     min_sep = min(w, h) * cfg.min_corner_separation_factor
 
-    def one(image):
-        out = detect_arrays(
-            image, dictionary, cfg, params, min_edge, min_sep, ds
+    def batch_fn(frames):
+        out = detect_batch_arrays(
+            frames, dictionary, cfg, params, min_edge, min_sep, ds
         )
         norm = out["marker_corners"] / jnp.array(
             [float(w), float(h)], dtype=jnp.float32
@@ -59,7 +59,7 @@ def main() -> None:
             "pose_errors": err,
         }
 
-    step = jax.jit(jax.vmap(one))
+    step = jax.jit(batch_fn)
 
     # Realistic frames: 8 markers per 1080p frame (config 3) + noise.
     rng = np.random.default_rng(0)
