@@ -74,12 +74,14 @@ class Marker:
 @dataclass
 class Detection:
     """Host-side pipeline output incl. debug intermediates
-    (reference aruco.rs:15-21)."""
+    (reference aruco.rs:15-21).  ``stats`` carries the per-stage rejection
+    counters the reference prints in debug builds (aruco.rs:125-127)."""
 
     grey: np.ndarray | None = None
     candidates: list = field(default_factory=list)
     homographies: list = field(default_factory=list)
     markers: list[Marker] = field(default_factory=list)
+    stats: dict = field(default_factory=dict)
 
 
 class Detector:
@@ -157,7 +159,10 @@ class Detector:
         quads = np.asarray(out["quads"])
         quad_valid = np.asarray(out["quad_valid"])
         patches = np.asarray(out["patches"])
-        det = Detection(grey=np.asarray(out["grey"]))
+        det = Detection(
+            grey=np.asarray(out["grey"]),
+            stats={k: int(v) for k, v in out.get("stats", {}).items()},
+        )
         marker_valid = np.asarray(out["marker_valid"])
         ids = np.asarray(out["marker_id"])
         dists = np.asarray(out["marker_dist"])
@@ -191,12 +196,19 @@ class Detector:
 # --------------------------------------------------------------------------
 # The jitted frame pipeline (pure function of arrays + static config)
 # --------------------------------------------------------------------------
-def _use_pallas(cfg: DetectorConfig) -> bool:
-    """Pallas frontend on TPU-like backends; XLA path on CPU / when off."""
+def _use_pallas(cfg: DetectorConfig, width: int = 0) -> bool:
+    """Pallas frontend on TPU-like backends; XLA path on CPU / when off.
+
+    Frames wider than ~2048 px would overflow the kernel's VMEM strip
+    budget (strip height scales with the coarse factor), so 4K+ frames take
+    the XLA path until the kernel gains column tiling.
+    """
     if cfg.use_pallas == "never":
         return False
     if cfg.use_pallas == "always":
         return True
+    if width > 2048:
+        return False
     return jax.default_backend() not in ("cpu",)
 
 
@@ -217,7 +229,7 @@ def detect_batch_arrays(
     """
     grey = frontend.rgb_to_luma_u8(images)  # (B, H, W)
 
-    if _use_pallas(cfg):
+    if _use_pallas(cfg, grey.shape[-1]):
         from .ops.frontend_pallas import fused_threshold_open_pool
 
         black, coarse = fused_threshold_open_pool(
@@ -316,8 +328,18 @@ def _detect_tail(
     )[:, 0]
 
     accept = quad_valid & h_valid & border_valid
+    tau_ok = best_dist < dictionary.tau
     if cfg.filter_high_bit_errors:
-        accept = accept & (best_dist < dictionary.tau)
+        accept = accept & tau_ok
+
+    count = lambda m: jnp.sum(m.astype(jnp.int32))  # noqa: E731
+    stats = dict(found["stats"])
+    stats["reject_homography"] = count(quad_valid & ~h_valid)
+    stats["reject_border"] = count(quad_valid & h_valid & ~border_valid)
+    stats["reject_tau"] = count(
+        quad_valid & h_valid & border_valid & ~tau_ok
+    )
+    stats["markers"] = count(accept)
 
     # corners.rotate_left(min_rotation) (reference aruco.rs:97-103).
     k = quads.shape[0]
@@ -337,4 +359,5 @@ def _detect_tail(
         "marker_rot": rot,
         "marker_code": best_code,
         "marker_corners": corners_rot,
+        "stats": stats,
     }

@@ -220,14 +220,18 @@ def warp_patches_mxu(
         jnp.bfloat16
     )
 
-    # T[k, s, y] = sum_x wx[k, s, x] * windows[k, y, x]
+    # T[k, s, y] = sum_x wx[k, s, x] * windows[k, y, x].  Keep T in bf16:
+    # it is the single largest intermediate (K, S^2, 64) and the weighted
+    # row-sum accumulates in f32 anyway.
     t = jnp.einsum(
         "ksx,kyx->ksy",
         wx,
         windows.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.bfloat16,
     )
-    vals = jnp.sum(wy.astype(jnp.float32) * t, axis=-1)  # (K, S2)
+    vals = jnp.einsum(
+        "ksy,ksy->ks", wy, t, preferred_element_type=jnp.float32
+    )  # (K, S2)
 
     # Out-of-image samples land in the zero padding of the pyramid levels
     # (black, the reference default); degenerate homographies are masked.

@@ -340,12 +340,17 @@ def fit_quads(
     )
     sgn = jnp.where(area2 >= 0, 1.0, -1.0)
     # Signed distance of pixel to edge line: z = ex*dy - ey*dx (positive on
-    # the interior side for shoelace-positive orientation).
-    crossd = (
-        (py[:, None, :] - e_from[..., 1:2]) * ex[..., None]
-        - (px[:, None, :] - e_from[..., 0:1]) * ey[..., None]
-    ) / elen[..., None]  # (K, 4, P)
-    inside = jnp.all(sgn[:, None, None] * crossd >= -slack, axis=1)  # (K, P)
+    # the interior side for shoelace-positive orientation).  Accumulate the
+    # inside mask edge by edge — materializing a (K, 4, P) tensor costs ~4x
+    # the HBM traffic of four (K, P) passes.
+    inside = jnp.ones(member.shape, dtype=bool)
+    for e in range(4):
+        crossd = (py - e_from[:, e, 1:2]) * ex[:, e, None] - (
+            px - e_from[:, e, 0:1]
+        ) * ey[:, e, None]
+        inside = inside & (
+            sgn[:, None] * crossd >= -slack * elen[:, e, None]
+        )
     frac = jnp.sum(jnp.where(member & inside, 1.0, 0.0), axis=-1) / szf
     valid = valid & (frac >= params.min_containment)
 
@@ -504,14 +509,31 @@ def find_quads_from_masks(
         quads = refine_corners(black, quads, fit["centroids"], ds, window)
 
     quads = enforce_clockwise(quads)
-    valid = valid & min_edge_gate(quads, min_edge_length)
+    v_size = fit["sizes"] >= params.min_component_px
+    v_contain = valid  # size gate & containment combined in fit_quads
+    edge_ok = min_edge_gate(quads, min_edge_length)
+    valid = valid & edge_ok
+    v_before_near = valid
     valid = discard_too_near(quads, valid, min_corner_separation)
+
+    # Per-stage rejection counters — the observability the reference prints
+    # in debug builds (reference aruco.rs:125-127,163-164), as device
+    # scalars so they survive jit without host round-trips.
+    count = lambda m: jnp.sum(m.astype(jnp.int32))  # noqa: E731
+    stats = {
+        "components": count(v_size),
+        "reject_containment": count(v_size & ~v_contain),
+        "reject_edge_length": count(v_contain & ~edge_ok),
+        "reject_too_near": count(v_before_near & ~valid),
+        "candidates": count(valid),
+    }
     return {
         "quads": quads,
         "valid": valid,
         "labels": labels,
         "coarse_factor": ds,
         "sizes": fit["sizes"],
+        "stats": stats,
     }
 
 
