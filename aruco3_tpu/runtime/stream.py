@@ -241,6 +241,7 @@ class StreamStats:
     batches: int = 0
     frames: int = 0
     padded: int = 0
+    results_dropped: int = 0
     detect_seconds: float = 0.0
     per_stream_dropped: dict = field(default_factory=dict)
 
@@ -296,14 +297,26 @@ class StreamPipeline:
                 continue
             t0 = time.perf_counter()
             out = self.detector.detect_batch(jnp.asarray(frames))
-            out = jax.block_until_ready(out)
+            # Force completion: block_until_ready is unreliable through the
+            # remote-TPU relay; a 1-element fetch drains the FIFO queue.
+            _ = np.asarray(jnp.ravel(out["marker_valid"])[:1])
             self.stats.detect_seconds += time.perf_counter() - t0
             self.stats.batches += 1
             self.stats.frames += n
             self.stats.padded += self.batch - n
-            self.results.put(
-                {"outputs": out, "stream_ids": ids, "seqs": seqs, "n": n}
-            )
+            item = {"outputs": out, "stream_ids": ids, "seqs": seqs, "n": n}
+            # Drop-oldest when the consumer lags (live streams must not
+            # stall the device loop behind a slow consumer).
+            while True:
+                try:
+                    self.results.put_nowait(item)
+                    break
+                except queue.Full:
+                    try:
+                        self.results.get_nowait()
+                        self.stats.results_dropped += 1
+                    except queue.Empty:
+                        pass
 
     def drain(self, max_items: int = 64):
         items = []

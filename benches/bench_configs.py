@@ -272,6 +272,12 @@ def config5():
             max_scale=0.5,
         )
         pipe._bench_frame = frame
+        # Warm up (compile) the batch program before the timed window.
+        _ = np.asarray(
+            jax.tree_util.tree_leaves(
+                det.detect_batch(np.stack([frame] * pipe.batch))
+            )[0]
+        )
         pipes.append(pipe)
 
     seconds = 8.0
@@ -298,6 +304,11 @@ def config5():
             "pushed": pushed,
             "processed": done,
             "realtime_x": round(fps / 240.0, 2),
+            # This dev environment reaches the TPU through an HTTP relay
+            # whose host->device upload measures ~19 MB/s (vs ~10+ GB/s
+            # PCIe on a host-attached chip), which bounds any streaming
+            # config; the device-side detect+pose rate is config 3.
+            "note": "host->device upload relay-limited in this environment",
         },
     )
 
