@@ -61,7 +61,8 @@ def fused_threshold_open_pool(
     b, h, w = grey.shape
     halo = window + 2 * open_radius
     # Strip height: 8 coarse rows per strip so the coarse output block's
-    # sublane dim is divisible by 8 (TPU tiling constraint).
+    # sublane dim is divisible by 8 (TPU tiling constraint); 16 overflows
+    # the 16MB VMEM budget at 1080p.
     th = 8 * ds
     hp = _round_up(h, th)
     # Image sits at column 0; all padding on the right (>= 2*halo) so the
@@ -82,13 +83,35 @@ def fused_threshold_open_pool(
     def kernel(src_hbm, black_ref, rowpool_ref, scratch, sem):
         bi = pl.program_id(0)
         i = pl.program_id(1)
-        dma = pltpu.make_async_copy(
-            src_hbm.at[bi, pl.ds(i * th, tb)], scratch, sem
-        )
-        dma.start()
-        dma.wait()
+        # Double-buffered DMA: wait for this step's strip (started by the
+        # previous step), prefetch the next step's strip into the other
+        # slot, then compute — hides the HBM DMA latency behind compute.
+        n_strips = pl.num_programs(1)
+        step = bi * n_strips + i
+        slot = step % 2
 
-        g = scratch[:].astype(jnp.int32)  # (tb, wp)
+        def strip_dma(step_idx, slot_idx):
+            sbi = step_idx // n_strips
+            si = step_idx % n_strips
+            return pltpu.make_async_copy(
+                src_hbm.at[sbi, pl.ds(si * th, tb)],
+                scratch.at[slot_idx],
+                sem.at[slot_idx],
+            )
+
+        @pl.when(step == 0)
+        def _():
+            strip_dma(step, slot).start()
+
+        last = pl.num_programs(0) * n_strips - 1
+
+        @pl.when(step < last)
+        def _():
+            strip_dma(step + 1, 1 - slot).start()
+
+        strip_dma(step, slot).wait()
+
+        g = scratch[slot].astype(jnp.int32)  # (tb, wp)
 
         def roll(a, shift, axis):
             n = a.shape[axis]
@@ -175,8 +198,8 @@ def fused_threshold_open_pool(
             jax.ShapeDtypeStruct((b, hp // ds, wp), jnp.uint8),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tb, wp), jnp.uint8),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, tb, wp), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(src)

@@ -69,13 +69,12 @@ def homography_square_to_quad(
     A = jnp.concatenate([rows_u, rows_v], axis=-2)  # (..., 8, 8)
     b = jnp.concatenate([u, v], axis=-1)[..., None]
 
-    # Detect singular systems without host round-trips: solve, then check
-    # finiteness and residual.
+    # Detect singular systems without host round-trips: degenerate quads
+    # give non-finite or absurdly scaled solutions under f32 LU.  (A full
+    # residual check costs an extra batched matmul for no extra recall —
+    # downstream border/tau gates reject any survivors.)
     h = jnp.linalg.solve(A, b)[..., 0]
-    residual = jnp.abs(
-        jnp.matmul(A, h[..., None], precision=_HIGHEST)[..., 0] - b[..., 0]
-    ).sum(-1)
-    valid = jnp.isfinite(h).all(-1) & (residual < 1e-2 * (1.0 + jnp.abs(b[..., 0]).sum(-1)))
+    valid = jnp.isfinite(h).all(-1) & (jnp.abs(h).max(-1) < 1e7)
     H = jnp.concatenate(
         [h, jnp.ones(batch + (1,), dtype=h.dtype)], axis=-1
     ).reshape(batch + (3, 3))
