@@ -108,27 +108,17 @@ def build_pyramid(grey: jnp.ndarray, levels: int) -> list[jnp.ndarray]:
     return out
 
 
-def warp_patches_mxu(
+def _warp_setup(
     pyramid: list[jnp.ndarray],
     H: jnp.ndarray,
     quads: jnp.ndarray,
     patch_size: int,
-) -> jnp.ndarray:
-    """Gather-free perspective warp: one small matmul per candidate.
+):
+    """Select per-candidate pyramid windows + window-space sample coords.
 
-    Per candidate: pick the pyramid level where the quad's bbox fits a
-    64x64 window, dynamic-slice that window, and evaluate all S*S bilinear
-    samples as T = Wx @ window^T followed by a row-wise weighted sum with
-    Wy — the bilinear weights live in two dense (S^2, 64) separable weight
-    matrices, so the whole warp rides the MXU with zero gathers (TPU
-    gathers serialize; see segment.label_components for the same story).
-
-    Samples outside the image resolve to 0 (the reference's black default,
-    aruco.rs:253): out-of-window coordinates produce all-zero weight rows.
-    For quads smaller than the window the warp samples pyramid level 0,
-    i.e. it is exactly the reference's bilinear interpolation; larger quads
-    sample a box-filtered level, which anti-aliases where the reference
-    aliases (documented deviation).
+    Shared by the XLA eval (warp_patches_mxu) and the Pallas eval
+    (warp_patches_pallas).  Returns (windows (K, win, win) f32,
+    ux (K, S2), uy (K, S2), bad (K, S2) bool).
     """
     levels = len(pyramid)
     s = patch_size
@@ -208,6 +198,36 @@ def warp_patches_mxu(
     windows = sel(all_windows)  # (K, win, win)
     ux = sel(all_ux)  # (K, S2)
     uy = sel(all_uy)
+    return windows, ux, uy, bad
+
+
+def warp_patches_mxu(
+    pyramid: list[jnp.ndarray],
+    H: jnp.ndarray,
+    quads: jnp.ndarray,
+    patch_size: int,
+) -> jnp.ndarray:
+    """Gather-free perspective warp: one small matmul per candidate.
+
+    Per candidate: pick the pyramid level where the quad's bbox fits a
+    64x64 window, dynamic-slice that window, and evaluate all S*S bilinear
+    samples as T = Wx @ window^T followed by a row-wise weighted sum with
+    Wy — the bilinear weights live in two dense (S^2, 64) separable weight
+    matrices, so the whole warp rides the MXU with zero gathers (TPU
+    gathers serialize; see segment.label_components for the same story).
+
+    Samples outside the image resolve to 0 (the reference's black default,
+    aruco.rs:253): out-of-window coordinates produce all-zero weight rows.
+    For quads smaller than the window the warp samples pyramid level 0,
+    i.e. it is exactly the reference's bilinear interpolation; larger quads
+    sample a box-filtered level, which anti-aliases where the reference
+    aliases (documented deviation).
+    """
+    s = patch_size
+    k = H.shape[0]
+    win = _WARP_WIN
+    jcols = jnp.arange(win, dtype=jnp.float32)
+    windows, ux, uy, bad = _warp_setup(pyramid, H, quads, patch_size)
 
     # Separable bilinear weights: (K, S2, win) each.  bf16 halves the HBM
     # traffic of the weight tensors (the matmul itself is tiny); weight
@@ -234,6 +254,25 @@ def warp_patches_mxu(
 
     # Out-of-image samples land in the zero padding of the pyramid levels
     # (black, the reference default); degenerate homographies are masked.
+    vals = jnp.where(bad, 0.0, vals)
+    return vals.reshape(k, s, s)
+
+
+def warp_patches_pallas(
+    pyramid: list[jnp.ndarray],
+    H: jnp.ndarray,
+    quads: jnp.ndarray,
+    patch_size: int,
+) -> jnp.ndarray:
+    """Same warp as warp_patches_mxu but evaluated by the Pallas kernel
+    (ops.warp_pallas.warp_eval): the bilinear weight planes never touch
+    HBM.  Numerics match warp_patches_mxu to bf16 rounding."""
+    from .ops.warp_pallas import warp_eval
+
+    s = patch_size
+    k = H.shape[0]
+    windows, ux, uy, bad = _warp_setup(pyramid, H, quads, patch_size)
+    vals = warp_eval(windows, ux, uy)
     vals = jnp.where(bad, 0.0, vals)
     return vals.reshape(k, s, s)
 
