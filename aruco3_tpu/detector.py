@@ -294,7 +294,7 @@ def _detect_tail(
     ds: int,
 ):
     found = segment.find_quads_from_masks(
-        black, coarse, params, min_edge, min_sep, ds
+        black, coarse, params, min_edge, min_sep, ds, grey=grey
     )
     quads, quad_valid = found["quads"], found["valid"]
 

@@ -372,16 +372,22 @@ def refine_corners(
     centroids: jnp.ndarray,
     ds: int,
     window: int,
+    grey: jnp.ndarray | None = None,
 ):
-    """Snap each coarse corner to the extreme full-res black pixel.
+    """Snap each coarse corner to the extreme full-res marker-ink pixel.
 
-    For corner q with component centroid c, the refined corner is the
-    (denoised) black pixel p within Chebyshev distance ds+2 of q maximising
-    dot(p, q - c).  The clamp radius equals one pooling quantum — the true
-    corner cannot be farther from the coarse corner than that, so anything
-    beyond is another structure.  Falls back to the coarse corner when the
-    window holds no valid pixel.  Gather-free: one dynamic_slice per corner
-    plus vector reductions.
+    For corner q with component centroid c, the refined corner is the ink
+    pixel p within Chebyshev distance ds+2 of q maximising dot(p, q - c).
+    The clamp radius equals one pooling quantum — the true corner cannot be
+    farther from the coarse corner than that, so anything beyond is another
+    structure.  Falls back to the coarse corner when the window holds no
+    valid pixel.  Gather-free: dynamic_slice windows + vector reductions.
+
+    "Ink" definition: the opened black mask erodes true corners by the
+    opening radius (~2 px inward bias), so when ``grey`` is given, a pixel
+    counts as ink if it is darker than its window's mean (a local re-
+    threshold) AND lies within 2 px of the opened component — recovering
+    the eroded corner tip while still rejecting detached noise.
     """
     h, w = black.shape
     wn = window
@@ -406,12 +412,28 @@ def refine_corners(
 
     def one(tlx_, tly_, dir_, corner_):
         win = jax.lax.dynamic_slice(black, (tly_, tlx_), (wn, wn))
+        if grey is not None:
+            g = jax.lax.dynamic_slice(
+                grey, (tly_, tlx_), (wn, wn)
+            ).astype(jnp.float32)
+            dark = g < jnp.mean(g)
+            near = win
+            for _ in range(2):  # dilate the opened mask by 2 px in-window
+                p = jnp.pad(near, 1)
+                acc = near
+                for dy in (0, 1, 2):
+                    for dx in (0, 1, 2):
+                        acc = acc | p[dy : dy + wn, dx : dx + wn]
+                near = acc
+            ink = dark & near
+        else:
+            ink = win
         xx = (tlx_ + ox).astype(jnp.float32)
         yy = (tly_ + oy).astype(jnp.float32)
         near_corner = (jnp.abs(xx - corner_[0]) <= clamp_r) & (
             jnp.abs(yy - corner_[1]) <= clamp_r
         )
-        ok = win & near_corner
+        ok = ink & near_corner
         score = xx * dir_[0] + yy * dir_[1]
         score = jnp.where(ok, score, -jnp.inf)
         best = jnp.argmax(score.reshape(-1))
@@ -492,6 +514,7 @@ def find_quads_from_masks(
     min_edge_length: float,
     min_corner_separation: float,
     ds: int,
+    grey: jnp.ndarray | None = None,
 ):
     """(black full-res, coarse pooled) masks -> fixed-capacity quads.
 
@@ -506,7 +529,9 @@ def find_quads_from_masks(
 
     if params.refine and ds > 1:
         window = params.refine_window or min(64, max(12, 2 * ds + 8))
-        quads = refine_corners(black, quads, fit["centroids"], ds, window)
+        quads = refine_corners(
+            black, quads, fit["centroids"], ds, window, grey=grey
+        )
 
     quads = enforce_clockwise(quads)
     v_size = fit["sizes"] >= params.min_component_px
