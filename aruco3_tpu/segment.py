@@ -410,24 +410,26 @@ def refine_corners(
         indexing="ij",
     )
 
+    # Dilate the opened mask once globally (fused dense passes) and pack it
+    # with the grey plane into one int32 image so each corner needs a
+    # single dynamic_slice (slices dominate this stage's cost).
+    if grey is not None:
+        black_near = _dilate3(_dilate3(black))
+        packed = grey.astype(jnp.int32) | (
+            black_near.astype(jnp.int32) << 8
+        )
+    else:
+        packed = black.astype(jnp.int32) << 8
+
     def one(tlx_, tly_, dir_, corner_):
-        win = jax.lax.dynamic_slice(black, (tly_, tlx_), (wn, wn))
+        win = jax.lax.dynamic_slice(packed, (tly_, tlx_), (wn, wn))
+        near = win >= 256
         if grey is not None:
-            g = jax.lax.dynamic_slice(
-                grey, (tly_, tlx_), (wn, wn)
-            ).astype(jnp.float32)
+            g = (win & 255).astype(jnp.float32)
             dark = g < jnp.mean(g)
-            near = win
-            for _ in range(2):  # dilate the opened mask by 2 px in-window
-                p = jnp.pad(near, 1)
-                acc = near
-                for dy in (0, 1, 2):
-                    for dx in (0, 1, 2):
-                        acc = acc | p[dy : dy + wn, dx : dx + wn]
-                near = acc
             ink = dark & near
         else:
-            ink = win
+            ink = near
         xx = (tlx_ + ox).astype(jnp.float32)
         yy = (tly_ + oy).astype(jnp.float32)
         near_corner = (jnp.abs(xx - corner_[0]) <= clamp_r) & (
