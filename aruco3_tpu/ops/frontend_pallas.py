@@ -182,7 +182,7 @@ def fused_threshold_open_pool(
     black_pad, rowpool_pad = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec(
                 (1, th, wp), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM

@@ -103,9 +103,12 @@ def test_decode_rendered_marker_all_dicts():
 
 def test_bits_to_u32_pairs_roundtrip(rng):
     for nb in (16, 25, 36, 64):
-        vals = rng.integers(0, 2**63, size=8, dtype=np.uint64) & (
-            (np.uint64(1) << np.uint64(nb)) - np.uint64(1)
+        mask = (
+            ~np.uint64(0)
+            if nb >= 64
+            else (np.uint64(1) << np.uint64(nb)) - np.uint64(1)
         )
+        vals = rng.integers(0, 2**63, size=8, dtype=np.uint64) & mask
         bits = ((vals[:, None] >> np.arange(nb, dtype=np.uint64)) & 1).astype(
             np.int32
         )
