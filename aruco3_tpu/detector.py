@@ -52,6 +52,7 @@ class DetectorConfig:
     filter_high_bit_errors: bool = True
     # --- TPU pipeline capacity/behaviour knobs (not in the reference) ---
     max_candidates: int = 32
+    max_inner_candidates: int = 8  # hole-border pass lanes (0 disables)
     coarse_factor: int | None = None  # None = auto from image size
     ccl_rounds: int = 4
     refine_corners: bool = True
@@ -110,6 +111,7 @@ class Detector:
         ds = cfg.coarse_factor or segment.choose_coarse_factor(height, width)
         params = segment.QuadParams(
             max_candidates=cfg.max_candidates,
+            max_inner_candidates=cfg.max_inner_candidates,
             coarse_factor=ds,
             ccl_rounds=cfg.ccl_rounds,
             refine=cfg.refine_corners,

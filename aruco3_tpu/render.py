@@ -49,11 +49,16 @@ def render_marker(
     supersample: int = 3,
     noise_sigma: float = 0.0,
     rng: np.random.Generator | None = None,
+    quiet_zone_cells: int = 0,
 ) -> np.ndarray:
     """Render one marker into a (H, W) uint8 grayscale image.
 
     corners: (4, 2) image-space (x, y) positions of the marker's outer
     corners, clockwise from the marker's top-left cell corner.
+
+    quiet_zone_cells: width (in marker cells) of a white quiet zone drawn
+    around the marker before the background starts — needed for markers on
+    dark backgrounds, where the background itself is not the quiet zone.
     """
     w, h = image_size
     m = dictionary.get_mark_size()
@@ -79,10 +84,14 @@ def render_marker(
     cell_x = np.clip((u * m).astype(np.int64), 0, m - 1)
     cell_y = np.clip((v * m).astype(np.int64), 0, m - 1)
     cell_white = bit_matrix[cell_y, cell_x]
+    qz = quiet_zone_cells / m
+    in_quiet = (
+        (u >= -qz) & (u < 1 + qz) & (v >= -qz) & (v < 1 + qz) & ~inside
+    )
     shade = np.where(
         inside,
         np.where(cell_white, float(marker_white), float(marker_black)),
-        float(background),
+        np.where(in_quiet, float(marker_white), float(background)),
     )
     img = shade.reshape(h, ss, w, ss).mean(axis=(1, 3))
 

@@ -56,6 +56,12 @@ class QuadParams:
     open_radius: int = 2  # denoise opening radius before pooling
     refine_window: int = 0  # 0 = auto from coarse factor
     refine: bool = True
+    # Inner (hole-border) pass: lanes reserved for black components that
+    # live *inside holes* of outer components — markers on dark backgrounds
+    # and nested markers (reference Suzuki-Abe traces hole borders too,
+    # aruco.rs:64).  0 disables the pass.
+    max_inner_candidates: int = 8
+    bg_rounds: int = 3  # border-connected-black flood rounds
 
 
 def choose_coarse_factor(h: int, w: int, target: int = 192) -> int:
@@ -160,30 +166,18 @@ def _segmented_min_scan(l, mask, sentinel, axis):
     return jnp.where(mask, jnp.minimum(lf, lb), sentinel)
 
 
-def fill_holes(black: jnp.ndarray, rounds: int) -> jnp.ndarray:
-    """Fill regions enclosed by black: white cells unreachable from the
-    image border through white become black.
+def flood(
+    medium: jnp.ndarray, seed: jnp.ndarray, rounds: int
+) -> jnp.ndarray:
+    """Cells of ``medium`` 8-connected to ``seed & medium`` through it.
 
-    This is the step that makes marker components *solid*: a marker is a
-    black ring whose interior (the code cells) is enclosed, so after
-    filling each marker is one solid quad blob.  Solid convex regions then
-    converge under row/column label scans in 2-3 rounds regardless of
-    rotation — whereas a thin rotated ring would need O(perimeter) rounds
-    (TPU has no fast gather, so pointer jumping is not an option).
-
-    Reachability is a boolean flood: seeded at white border cells,
-    transported along whole white runs per round via segmented scans, with
-    a neighbour-OR step for diagonal corridors.
+    Reachability is a boolean flood: transported along whole in-medium runs
+    per round via segmented scans, with a neighbour-OR step for diagonal
+    corridors.  Large solid regions converge in 2-3 rounds regardless of
+    shape orientation.
     """
-    hc, wc = black.shape
-    white = ~black
-    reach = jnp.zeros_like(white)
-    border = jnp.zeros_like(white)
-    border = border.at[0, :].set(True)
-    border = border.at[-1, :].set(True)
-    border = border.at[:, 0].set(True)
-    border = border.at[:, -1].set(True)
-    reach = white & border
+    hc, wc = medium.shape
+    reach = medium & seed
 
     # Encode reach as int (0 reached / 1 not) so the min-scan machinery
     # doubles as an or-flood: min over a run == "any reached in run".
@@ -196,16 +190,41 @@ def fill_holes(black: jnp.ndarray, rounds: int) -> jnp.ndarray:
                 if dy == 1 and dx == 1:
                     continue
                 r = r | pads[dy : dy + hc, dx : dx + wc]
-        r = r & white
+        r = r & medium
         # run transport along rows and columns
         v = jnp.where(r, 0, 1)
-        v = _segmented_min_scan(v, white, jnp.int32(2), axis=1)
-        r = white & (v == 0)
+        v = _segmented_min_scan(v, medium, jnp.int32(2), axis=1)
+        r = medium & (v == 0)
         v = jnp.where(r, 0, 1)
-        v = _segmented_min_scan(v, white, jnp.int32(2), axis=0)
-        return white & (v == 0)
+        v = _segmented_min_scan(v, medium, jnp.int32(2), axis=0)
+        return medium & (v == 0)
 
-    reach = jax.lax.fori_loop(0, rounds, body, reach)
+    return jax.lax.fori_loop(0, rounds, body, reach)
+
+
+def flood_from_border(medium: jnp.ndarray, rounds: int) -> jnp.ndarray:
+    """Cells of ``medium`` 8-connected to the image border through it."""
+    border = jnp.zeros_like(medium)
+    border = border.at[0, :].set(True)
+    border = border.at[-1, :].set(True)
+    border = border.at[:, 0].set(True)
+    border = border.at[:, -1].set(True)
+    return flood(medium, border, rounds)
+
+
+def fill_holes(black: jnp.ndarray, rounds: int) -> jnp.ndarray:
+    """Fill regions enclosed by black: white cells unreachable from the
+    image border through white become black.
+
+    This is the step that makes marker components *solid*: a marker is a
+    black ring whose interior (the code cells) is enclosed, so after
+    filling each marker is one solid quad blob.  Solid convex regions then
+    converge under row/column label scans in 2-3 rounds regardless of
+    rotation — whereas a thin rotated ring would need O(perimeter) rounds
+    (TPU has no fast gather, so pointer jumping is not an option).
+    """
+    white = ~black
+    reach = flood_from_border(white, rounds)
     return black | (white & ~reach)
 
 
@@ -259,24 +278,30 @@ def fit_quads(
     labels: jnp.ndarray,
     ds: int,
     params: QuadParams,
+    k: int | None = None,
 ):
     """Top-K components -> fitted quads in full-res pixel coords.
 
     labels: (Hc, Wc) int32 from ``label_components``.
     Returns dict with:
-      quads:     (K, 4, 2) float32 (x, y) corners (A, B, C, D cyclic)
-      valid:     (K,) bool
-      roots:     (K,) int32 component representative (coarse linear index)
-      centroids: (K, 2) float32 full-res (x, y)
-      sizes:     (K,) int32 coarse pixel counts
+      quads:      (K, 4, 2) float32 (x, y) corners (A, B, C, D cyclic)
+      valid:      (K,) bool
+      roots:      (K,) int32 component representative (coarse linear index)
+      centroids:  (K, 2) float32 full-res (x, y)
+      sizes:      (K,) int32 coarse pixel counts
+      qualifying: () int32 — total components meeting the size gate
+                  (including any beyond the K lanes: overflow accounting)
     """
     hc, wc = labels.shape
     p = hc * wc
-    k = params.max_candidates
+    k = params.max_candidates if k is None else k
     flat = labels.reshape(-1)
 
     sizes_all = jnp.zeros(p + 1, dtype=jnp.int32).at[flat].add(1)
     sizes_all = sizes_all.at[p].set(0)  # drop the white sentinel
+    qualifying = jnp.sum(
+        (sizes_all >= params.min_component_px).astype(jnp.int32)
+    )
     sizes, roots = jax.lax.top_k(sizes_all, k)
     valid = sizes >= params.min_component_px
 
@@ -360,6 +385,7 @@ def fit_quads(
         "roots": roots,
         "centroids": jnp.stack([cenx, ceny], axis=-1),
         "sizes": sizes,
+        "qualifying": qualifying,
     }
 
 
@@ -373,6 +399,8 @@ def refine_corners(
     ds: int,
     window: int,
     grey: jnp.ndarray | None = None,
+    inner_coarse: jnp.ndarray | None = None,
+    is_inner: jnp.ndarray | None = None,
 ):
     """Snap each coarse corner to the extreme full-res marker-ink pixel.
 
@@ -388,6 +416,12 @@ def refine_corners(
     counts as ink if it is darker than its window's mean (a local re-
     threshold) AND lies within 2 px of the opened component — recovering
     the eroded corner tip while still rejecting detached noise.
+
+    Inner-pass lanes (markers inside dark regions): ``inner_coarse`` is the
+    coarse footprint of inner components and ``is_inner`` flags the lanes
+    that came from the inner pass.  Their ink is additionally restricted to
+    that footprint so a corner cannot snap onto the surrounding dark
+    background across the quiet zone.
     """
     h, w = black.shape
     wn = window
@@ -412,18 +446,28 @@ def refine_corners(
 
     # Dilate the opened mask once globally (fused dense passes) and pack it
     # with the grey plane into one int32 image so each corner needs a
-    # single dynamic_slice (slices dominate this stage's cost).
+    # single dynamic_slice (slices dominate this stage's cost).  Bit 8 =
+    # near any opened black; bit 9 = near black within the inner footprint.
     if grey is not None:
         black_near = _dilate3(_dilate3(black))
         packed = grey.astype(jnp.int32) | (
             black_near.astype(jnp.int32) << 8
         )
     else:
+        black_near = black
         packed = black.astype(jnp.int32) << 8
+    if inner_coarse is not None:
+        up = jnp.repeat(jnp.repeat(inner_coarse, ds, axis=0), ds, axis=1)
+        up = up[:h, :w]
+        packed = packed | ((black_near & up).astype(jnp.int32) << 9)
+        bits = jnp.where(is_inner, jnp.int32(9), jnp.int32(8))
+    else:
+        bits = jnp.full((quads.shape[0],), 8, dtype=jnp.int32)
+    bits = jnp.broadcast_to(bits[:, None], quads.shape[:2])  # (K, 4)
 
-    def one(tlx_, tly_, dir_, corner_):
+    def one(tlx_, tly_, dir_, corner_, bit_):
         win = jax.lax.dynamic_slice(packed, (tly_, tlx_), (wn, wn))
-        near = win >= 256
+        near = ((win >> bit_) & 1) == 1
         if grey is not None:
             g = (win & 255).astype(jnp.float32)
             dark = g < jnp.mean(g)
@@ -444,8 +488,10 @@ def refine_corners(
         by = (tly_ + best // wn).astype(jnp.float32)
         return bx, by, has
 
-    one_v = jax.vmap(jax.vmap(one, in_axes=(0, 0, 0, 0)), in_axes=(0, 0, 0, 0))
-    bx, by, has = one_v(tlx, tly, dirs, quads)
+    one_v = jax.vmap(
+        jax.vmap(one, in_axes=(0, 0, 0, 0, 0)), in_axes=(0, 0, 0, 0, 0)
+    )
+    bx, by, has = one_v(tlx, tly, dirs, quads, bits)
     refined = jnp.stack([bx, by], axis=-1)
     return jnp.where(has[..., None], refined, quads)
 
@@ -523,20 +569,93 @@ def find_quads_from_masks(
     The masks come either from the XLA frontend (open_mask + pool_black) or
     from the fused Pallas kernel (ops.frontend_pallas) — both produce
     identical bits.
+
+    Two nesting levels are extracted, mirroring the reference's Suzuki-Abe
+    outer+hole border following (aruco.rs:64):
+      * outer pass: black components after removing border-connected black
+        (the background when the scene itself is dark), hole-filled so CCL
+        converges in O(1) rounds;
+      * inner pass: black components *inside the filled holes* of outer
+        components — a marker ring enclosed by a dark region (dark
+        background halo, nested markers on a dark plate).
+    Candidates merge into the K output lanes with outer-pass priority;
+    every size-qualifying component that finds no lane is counted in
+    stats["components_overflow"] (the reference's candidate list is
+    unbounded, aruco.rs:124-166 — capacity loss must be observable).
     """
-    filled = fill_holes(coarse, params.fill_rounds)
-    labels = label_components(filled, params.ccl_rounds)
-    fit = fit_quads(labels, ds, params)
-    quads, valid = fit["quads"], fit["valid"]
+    k1 = params.max_candidates
+    k2 = params.max_inner_candidates
+
+    bg = flood_from_border(coarse, params.bg_rounds)
+    m1 = coarse & ~bg
+    # Outside medium: everything reachable from the border without crossing
+    # m1 (background black counts as medium — it was removed from m1).
+    outside = flood_from_border(~m1, params.fill_rounds)
+    filled1 = m1 | (~m1 & ~outside)
+    labels = label_components(filled1, params.ccl_rounds)
+    fit = fit_quads(labels, ds, params, k=k1)
+    overflow = jnp.maximum(fit["qualifying"] - k1, 0)
+
+    if k2 > 0:
+        # Inner pass: m1 cells with no m1-path to the outside medium — a
+        # marker ring enclosed by another black structure (dark-background
+        # halo, dark plate) plus, harmlessly, code-cell blobs of ordinary
+        # markers (rejected downstream at decode).
+        lvl1 = flood(m1, _dilate3(outside), params.fill_rounds)
+        m2 = m1 & ~lvl1
+        filled2 = fill_holes(m2, params.fill_rounds)
+        labels2 = label_components(filled2, params.ccl_rounds)
+        fit2 = fit_quads(labels2, ds, params, k=k2)
+        overflow = overflow + jnp.maximum(fit2["qualifying"] - k2, 0)
+
+        # Merge to K lanes with strict outer-pass priority: inner
+        # candidates only fill lanes the outer pass left invalid (inner
+        # markers exist precisely where the outer pass cannot see them).
+        cat = lambda a, b: jnp.concatenate([a, b], axis=0)  # noqa: E731
+        quads_c = cat(fit["quads"], fit2["quads"])
+        valid_c = cat(fit["valid"], fit2["valid"])
+        sizes_c = cat(fit["sizes"], fit2["sizes"])
+        cents_c = cat(fit["centroids"], fit2["centroids"])
+        p = labels.size
+        prio = jnp.concatenate(
+            [
+                jnp.full((k1,), p + 1, dtype=jnp.int32),
+                jnp.zeros((k2,), dtype=jnp.int32),
+            ]
+        )
+        key = jnp.where(valid_c, sizes_c + 1 + prio, 0)
+        _, sel = jax.lax.top_k(key, k1)
+        quads = jnp.take(quads_c, sel, axis=0)
+        valid = jnp.take(valid_c, sel, axis=0)
+        sizes = jnp.take(sizes_c, sel, axis=0)
+        centroids = jnp.take(cents_c, sel, axis=0)
+        is_inner = sel >= k1
+        inner_coarse = _dilate3(filled2)
+        n_valid = jnp.sum(valid_c.astype(jnp.int32))
+        overflow = overflow + jnp.maximum(
+            n_valid - jnp.sum(valid.astype(jnp.int32)), 0
+        )
+    else:
+        quads, valid = fit["quads"], fit["valid"]
+        sizes, centroids = fit["sizes"], fit["centroids"]
+        is_inner = None
+        inner_coarse = None
 
     if params.refine and ds > 1:
         window = params.refine_window or min(64, max(12, 2 * ds + 8))
         quads = refine_corners(
-            black, quads, fit["centroids"], ds, window, grey=grey
+            black,
+            quads,
+            centroids,
+            ds,
+            window,
+            grey=grey,
+            inner_coarse=inner_coarse,
+            is_inner=is_inner,
         )
 
     quads = enforce_clockwise(quads)
-    v_size = fit["sizes"] >= params.min_component_px
+    v_size = sizes >= params.min_component_px
     v_contain = valid  # size gate & containment combined in fit_quads
     edge_ok = min_edge_gate(quads, min_edge_length)
     valid = valid & edge_ok
@@ -549,6 +668,7 @@ def find_quads_from_masks(
     count = lambda m: jnp.sum(m.astype(jnp.int32))  # noqa: E731
     stats = {
         "components": count(v_size),
+        "components_overflow": overflow,
         "reject_containment": count(v_size & ~v_contain),
         "reject_edge_length": count(v_contain & ~edge_ok),
         "reject_too_near": count(v_before_near & ~valid),
@@ -559,7 +679,7 @@ def find_quads_from_masks(
         "valid": valid,
         "labels": labels,
         "coarse_factor": ds,
-        "sizes": fit["sizes"],
+        "sizes": sizes,
         "stats": stats,
     }
 

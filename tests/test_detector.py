@@ -100,6 +100,71 @@ def test_multiple_markers(aruco_detector):
         assert cyclic_corner_error(m.corners, quads[m.id]) < 3.0
 
 
+def test_dark_background_marker(aruco_detector):
+    """A marker with a white quiet zone on a black scene must decode — the
+    reference finds it via Suzuki-Abe hole borders (aruco.rs:64); here the
+    inner (hole-border) segmentation pass recovers it."""
+    d = aruco_detector.dictionary
+    corners = np.array([[200, 140], [440, 150], [430, 380], [190, 370]], float)
+    img = render_marker(
+        d, 5, (640, 480), corners, background=0, quiet_zone_cells=2,
+        noise_sigma=2.0,
+    )
+    det = aruco_detector.detect(img)
+    match = [m for m in det.markers if m.id == 5]
+    assert match, det.stats
+    assert match[0].hamming_distance == 0
+    assert cyclic_corner_error(match[0].corners, corners) < 2.5
+
+
+def test_nested_marker(aruco_detector):
+    """Marker on a dark plate on a white scene (two nesting levels)."""
+    d = aruco_detector.dictionary
+    corners = np.array([[240, 180], [400, 190], [390, 340], [230, 330]], float)
+    mimg = render_marker(
+        d, 17, (640, 480), corners, background=0, quiet_zone_cells=2,
+        noise_sigma=0.0,
+    )
+    scene = np.full((480, 640), 255, np.uint8)
+    rect = np.zeros((480, 640), bool)
+    rect[120:410, 150:490] = True
+    scene = np.where(rect, mimg, scene)
+    rng = np.random.default_rng(3)
+    scene = np.clip(
+        scene.astype(np.float64) + rng.normal(0, 2.0, scene.shape), 0, 255
+    ).astype(np.uint8)
+    det = aruco_detector.detect(scene)
+    match = [m for m in det.markers if m.id == 17]
+    assert match, det.stats
+    assert cyclic_corner_error(match[0].corners, corners) < 2.5
+
+
+def test_component_overflow_is_reported():
+    """More components than candidate lanes must be visible in stats — the
+    reference's candidate list is unbounded (aruco.rs:124-166), so silent
+    capacity loss is not acceptable."""
+    d = ARDictionary.new_from_named_dict("ARUCO_DEFAULT")
+    det = Detector(DetectorConfig(max_candidates=4, max_inner_candidates=2), d)
+    img = np.full((480, 640), 255, np.uint8)
+    centers = [(110, 110), (320, 110), (530, 110), (110, 330), (320, 330),
+               (530, 330)]
+    for i, (cx, cy) in enumerate(centers):
+        q = np.array(
+            [[cx - 55, cy - 55], [cx + 55, cy - 55], [cx + 55, cy + 55],
+             [cx - 55, cy + 55]], float,
+        )
+        sub = render_marker(d, 10 + i, (640, 480), q, noise_sigma=0.0)
+        img = np.minimum(img, sub)
+    out = det.detect(img)
+    assert len(out.markers) == 4  # all 4 lanes productive
+    assert out.stats["components_overflow"] >= 2
+    # With enough lanes all 6 decode and overflow goes to zero.
+    det_wide = Detector(DetectorConfig(max_candidates=16), d)
+    out_wide = det_wide.detect(img)
+    assert sorted(m.id for m in out_wide.markers) == list(range(10, 16))
+    assert out_wide.stats["components_overflow"] == 0
+
+
 def test_detect_rgb_input(aruco_detector):
     d = aruco_detector.dictionary
     corners = np.array([[200, 140], [440, 150], [430, 380], [190, 370]], float)
