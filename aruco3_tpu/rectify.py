@@ -152,13 +152,27 @@ def _warp_setup(
     ).astype(jnp.int32)
     center = (bmin + bmax) * 0.5  # (K, 2) image coords
 
-    jcols = jnp.arange(win, dtype=jnp.float32)
+    # Pack all levels into ONE row-concatenated buffer so each candidate
+    # needs a single dynamic_slice.  (Slicing at every level and selecting
+    # costs K*L window gathers — measured as the dominant warp cost; the
+    # pack itself is one ~1.33x-frame-size copy.)  Right-padding with
+    # zeros matches the out-of-image black default.
+    w0 = pyramid[0].shape[1]
+    padded = [
+        img
+        if img.shape[1] == w0
+        else jnp.pad(img, ((0, 0), (0, w0 - img.shape[1])))
+        for img in pyramid
+    ]
+    packed = jnp.concatenate(padded, axis=0)
+    offsets = np.cumsum([0] + [img.shape[0] for img in pyramid]).tolist()
 
-    def sample_at_level(level: int):
-        img = pyramid[level]
-        hl, wl = img.shape
+    # Per-level top-left / sample coords are cheap (K,)/(K, S2) arithmetic;
+    # only the WINDOW slice (the expensive part) happens once, post-select.
+    all_tlx, all_tly, all_ux, all_uy = [], [], [], []
+    for level in range(levels):
+        hl, wl = pyramid[level].shape
         scale = float(2**level)
-        # Window top-left in level coords.
         cl = (center + 0.5) / scale - 0.5  # (K, 2) level coords
         tlx = jnp.clip(
             jnp.round(cl[:, 0]).astype(jnp.int32) - win // 2, 0, wl - win
@@ -166,38 +180,32 @@ def _warp_setup(
         tly = jnp.clip(
             jnp.round(cl[:, 1]).astype(jnp.int32) - win // 2, 0, hl - win
         )
-        windows = jax.vmap(
-            lambda ty, tx: jax.lax.dynamic_slice(img, (ty, tx), (win, win))
-        )(tly, tlx)  # (K, win, win)
-        # Sample coords in window space.
-        ux = (sx + 0.5) / scale - 0.5 - tlx[:, None].astype(jnp.float32)
-        uy = (sy + 0.5) / scale - 0.5 - tly[:, None].astype(jnp.float32)
-        return windows, ux, uy
-
-    # Compute windows/coords at every level, then select per candidate.
-    # (A data-dependent level cannot pick an array of different shape under
-    # jit; computing L cheap slices and selecting is branch-free and fast.)
-    all_windows = []
-    all_ux = []
-    all_uy = []
-    for level in range(levels):
-        wdw, ux, uy = sample_at_level(level)
-        all_windows.append(wdw)
-        all_ux.append(ux)
-        all_uy.append(uy)
-    sel = lambda stack: sum(  # noqa: E731
-        jnp.where(
-            (lvl == level)[:, None, None]
-            if stack[0].ndim == 3
-            else (lvl == level)[:, None],
-            stack[level],
-            0.0,
+        all_ux.append(
+            (sx + 0.5) / scale - 0.5 - tlx[:, None].astype(jnp.float32)
         )
-        for level in range(levels)
-    )
-    windows = sel(all_windows)  # (K, win, win)
-    ux = sel(all_ux)  # (K, S2)
-    uy = sel(all_uy)
+        all_uy.append(
+            (sy + 0.5) / scale - 0.5 - tly[:, None].astype(jnp.float32)
+        )
+        all_tlx.append(tlx)
+        all_tly.append(tly + offsets[level])
+
+    def sel(stack, zero):
+        return sum(
+            jnp.where(
+                (lvl == level)[:, None] if stack[0].ndim == 2 else lvl == level,
+                stack[level],
+                zero,
+            )
+            for level in range(levels)
+        )
+
+    tlx = sel(all_tlx, 0)
+    tly = sel(all_tly, 0)
+    ux = sel(all_ux, 0.0)  # (K, S2)
+    uy = sel(all_uy, 0.0)
+    windows = jax.vmap(
+        lambda ty, tx: jax.lax.dynamic_slice(packed, (ty, tx), (win, win))
+    )(tly, tlx)  # (K, win, win)
     return windows, ux, uy, bad
 
 

@@ -289,24 +289,34 @@ def fit_quads(
       roots:      (K,) int32 component representative (coarse linear index)
       centroids:  (K, 2) float32 full-res (x, y)
       sizes:      (K,) int32 coarse pixel counts
-      qualifying: () int32 — total components meeting the size gate
-                  (including any beyond the K lanes: overflow accounting)
+      qualifying: () int32 — total component count (including any beyond
+                  the K lanes: overflow accounting)
+
+    Lane assignment is scatter- and sort-free (both serialize on TPU): a
+    component's representative cell is its own label ("root"), roots are
+    ranked in raster order by a cumsum, and the first K map to lanes via a
+    (K, P) one-hot reduction.  Sizes then come from the lane membership
+    masks the quad fit needs anyway.
     """
     hc, wc = labels.shape
     p = hc * wc
     k = params.max_candidates if k is None else k
     flat = labels.reshape(-1)
+    idx = jnp.arange(p, dtype=jnp.int32)
 
-    sizes_all = jnp.zeros(p + 1, dtype=jnp.int32).at[flat].add(1)
-    sizes_all = sizes_all.at[p].set(0)  # drop the white sentinel
-    qualifying = jnp.sum(
-        (sizes_all >= params.min_component_px).astype(jnp.int32)
-    )
-    sizes, roots = jax.lax.top_k(sizes_all, k)
-    valid = sizes >= params.min_component_px
+    is_root = flat == idx  # white cells carry the sentinel p, never a root
+    rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1
+    lane = jnp.where(is_root & (rank < k), rank, k)
+    onehot = lane[None, :] == jnp.arange(k, dtype=jnp.int32)[:, None]
+    roots = jnp.sum(jnp.where(onehot, idx[None, :], 0), axis=-1)  # (K,)
+    n_roots = jnp.sum(is_root.astype(jnp.int32))
+    lane_used = jnp.arange(k) < n_roots
+    qualifying = n_roots
 
     # (K, P) membership masks.
-    member = flat[None, :] == roots[:, None]  # (K, P)
+    member = (flat[None, :] == roots[:, None]) & lane_used[:, None]
+    sizes = jnp.sum(member.astype(jnp.int32), axis=-1)
+    valid = sizes >= params.min_component_px
 
     # Full-res coordinates of coarse cell centers.
     ii = jnp.arange(p, dtype=jnp.int32)
