@@ -231,7 +231,8 @@ def detect_batch_arrays(
     """
     grey = frontend.rgb_to_luma_u8(images)  # (B, H, W)
 
-    if _use_pallas(cfg, grey.shape[-1]):
+    use_pallas = _use_pallas(cfg, grey.shape[-1])
+    if use_pallas:
         from .ops.frontend_pallas import fused_threshold_open_pool
 
         black, coarse = fused_threshold_open_pool(
@@ -246,12 +247,46 @@ def detect_batch_arrays(
 
         black, coarse = jax.vmap(prep)(grey)
 
-    def tail(g, b, c):
-        return _detect_tail(
-            g, b, c, dictionary, cfg, params, min_edge, min_sep, ds
+    if use_pallas and params.refine and ds > 1:
+        # Batched path: coarse candidate extraction is vmapped, the
+        # corner refinement runs as one natively-batched Pallas kernel
+        # (per-window DMAs; vmapped dynamic_slice would lower to row
+        # gathers — the dominant cost of the XLA path).
+        from .ops.refine_pallas import refine_corners_batch
+
+        cand = jax.vmap(lambda c: segment.extract_candidates(c, params, ds))(
+            coarse
+        )
+        packed = jax.vmap(
+            lambda g, b, ic: segment.build_packed_plane(g, b, ic, ds)
+        )(grey, black, cand["inner_coarse"])
+        wn = segment.refine_window_size(params, ds)
+        quads = refine_corners_batch(
+            packed,
+            cand["quads"],
+            cand["centroids"],
+            cand["is_inner"],
+            ds,
+            wn,
         )
 
-    out = jax.vmap(tail)(grey, black, coarse)
+        def tail(q, v, sz, ov, g):
+            q, v, stats = segment.finalize_quads(
+                q, v, sz, ov, params, min_edge, min_sep
+            )
+            return _decode_tail(g, q, v, stats, dictionary, cfg, ds)
+
+        out = jax.vmap(tail)(
+            quads, cand["valid"], cand["sizes"], cand["overflow"], grey
+        )
+    else:
+
+        def tail(g, b, c):
+            return _detect_tail(
+                g, b, c, dictionary, cfg, params, min_edge, min_sep, ds
+            )
+
+        out = jax.vmap(tail)(grey, black, coarse)
     out["grey"] = grey
     return out
 
@@ -298,8 +333,26 @@ def _detect_tail(
     found = segment.find_quads_from_masks(
         black, coarse, params, min_edge, min_sep, ds, grey=grey
     )
-    quads, quad_valid = found["quads"], found["valid"]
+    return _decode_tail(
+        grey,
+        found["quads"],
+        found["valid"],
+        found["stats"],
+        dictionary,
+        cfg,
+        ds,
+    )
 
+
+def _decode_tail(
+    grey: jnp.ndarray,
+    quads: jnp.ndarray,
+    quad_valid: jnp.ndarray,
+    stats: dict,
+    dictionary: ARDictionary,
+    cfg: DetectorConfig,
+    ds: int,
+):
     s = cfg.homography_sample_size
     H, h_valid = rectify.homography_square_to_quad(quads, s)
     if cfg.warp_impl == "gather":
@@ -335,7 +388,7 @@ def _detect_tail(
         accept = accept & tau_ok
 
     count = lambda m: jnp.sum(m.astype(jnp.int32))  # noqa: E731
-    stats = dict(found["stats"])
+    stats = dict(stats)
     stats["reject_homography"] = count(quad_valid & ~h_valid)
     stats["reject_border"] = count(quad_valid & h_valid & ~border_valid)
     stats["reject_tau"] = count(

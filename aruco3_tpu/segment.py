@@ -565,20 +565,8 @@ def discard_too_near(
 # --------------------------------------------------------------------------
 # End-to-end quad extraction
 # --------------------------------------------------------------------------
-def find_quads_from_masks(
-    black: jnp.ndarray,
-    coarse: jnp.ndarray,
-    params: QuadParams,
-    min_edge_length: float,
-    min_corner_separation: float,
-    ds: int,
-    grey: jnp.ndarray | None = None,
-):
-    """(black full-res, coarse pooled) masks -> fixed-capacity quads.
-
-    The masks come either from the XLA frontend (open_mask + pool_black) or
-    from the fused Pallas kernel (ops.frontend_pallas) — both produce
-    identical bits.
+def extract_candidates(coarse: jnp.ndarray, params: QuadParams, ds: int):
+    """Coarse mask -> merged fixed-capacity candidates (pre-refinement).
 
     Two nesting levels are extracted, mirroring the reference's Suzuki-Abe
     outer+hole border following (aruco.rs:64):
@@ -589,9 +577,9 @@ def find_quads_from_masks(
         components — a marker ring enclosed by a dark region (dark
         background halo, nested markers on a dark plate).
     Candidates merge into the K output lanes with outer-pass priority;
-    every size-qualifying component that finds no lane is counted in
-    stats["components_overflow"] (the reference's candidate list is
-    unbounded, aruco.rs:124-166 — capacity loss must be observable).
+    every component that finds no lane is counted into ``overflow`` (the
+    reference's candidate list is unbounded, aruco.rs:124-166 — capacity
+    loss must be observable).
     """
     k1 = params.max_candidates
     k2 = params.max_inner_candidates
@@ -648,22 +636,59 @@ def find_quads_from_masks(
     else:
         quads, valid = fit["quads"], fit["valid"]
         sizes, centroids = fit["sizes"], fit["centroids"]
-        is_inner = None
-        inner_coarse = None
+        is_inner = jnp.zeros(quads.shape[0], dtype=bool)
+        inner_coarse = jnp.zeros_like(coarse)
 
-    if params.refine and ds > 1:
-        window = params.refine_window or min(64, max(12, 2 * ds + 8))
-        quads = refine_corners(
-            black,
-            quads,
-            centroids,
-            ds,
-            window,
-            grey=grey,
-            inner_coarse=inner_coarse,
-            is_inner=is_inner,
-        )
+    return {
+        "quads": quads,
+        "valid": valid,
+        "sizes": sizes,
+        "centroids": centroids,
+        "is_inner": is_inner,
+        "inner_coarse": inner_coarse,
+        "labels": labels,
+        "overflow": overflow,
+    }
 
+
+def refine_window_size(params: QuadParams, ds: int) -> int:
+    return params.refine_window or min(64, max(12, 2 * ds + 8))
+
+
+def build_packed_plane(
+    grey: jnp.ndarray,
+    black: jnp.ndarray,
+    inner_coarse: jnp.ndarray,
+    ds: int,
+) -> jnp.ndarray:
+    """(H, W) int32 refinement plane: grey | near<<8 | inner-near<<9.
+
+    near = twice-dilated opened-black ("ink lives within 2 px of the
+    opened component"); the inner bit additionally restricts to the
+    upsampled inner-component footprint (see refine_corners docstring).
+    """
+    h, w = grey.shape
+    near = _dilate3(_dilate3(black))
+    up = jnp.repeat(jnp.repeat(inner_coarse, ds, axis=0), ds, axis=1)[:h, :w]
+    return (
+        grey.astype(jnp.int32)
+        | (near.astype(jnp.int32) << 8)
+        | ((near & up).astype(jnp.int32) << 9)
+    )
+
+
+def finalize_quads(
+    quads: jnp.ndarray,
+    valid: jnp.ndarray,
+    sizes: jnp.ndarray,
+    overflow: jnp.ndarray,
+    params: QuadParams,
+    min_edge_length: float,
+    min_corner_separation: float,
+):
+    """Post-refinement geometry gates + the per-stage rejection counters
+    the reference prints in debug builds (aruco.rs:125-127,163-164), as
+    device scalars so they survive jit without host round-trips."""
     quads = enforce_clockwise(quads)
     v_size = sizes >= params.min_component_px
     v_contain = valid  # size gate & containment combined in fit_quads
@@ -672,9 +697,6 @@ def find_quads_from_masks(
     v_before_near = valid
     valid = discard_too_near(quads, valid, min_corner_separation)
 
-    # Per-stage rejection counters — the observability the reference prints
-    # in debug builds (reference aruco.rs:125-127,163-164), as device
-    # scalars so they survive jit without host round-trips.
     count = lambda m: jnp.sum(m.astype(jnp.int32))  # noqa: E731
     stats = {
         "components": count(v_size),
@@ -684,12 +706,57 @@ def find_quads_from_masks(
         "reject_too_near": count(v_before_near & ~valid),
         "candidates": count(valid),
     }
+    return quads, valid, stats
+
+
+def find_quads_from_masks(
+    black: jnp.ndarray,
+    coarse: jnp.ndarray,
+    params: QuadParams,
+    min_edge_length: float,
+    min_corner_separation: float,
+    ds: int,
+    grey: jnp.ndarray | None = None,
+):
+    """(black full-res, coarse pooled) masks -> fixed-capacity quads.
+
+    The masks come either from the XLA frontend (open_mask + pool_black)
+    or from the fused Pallas kernel (ops.frontend_pallas) — identical
+    bits.  This is the portable single-frame path (XLA refinement); the
+    batched detector uses extract_candidates + the Pallas refinement
+    kernel + finalize_quads directly.
+    """
+    cand = extract_candidates(coarse, params, ds)
+    quads = cand["quads"]
+
+    if params.refine and ds > 1:
+        window = refine_window_size(params, ds)
+        quads = refine_corners(
+            black,
+            quads,
+            cand["centroids"],
+            ds,
+            window,
+            grey=grey,
+            inner_coarse=cand["inner_coarse"],
+            is_inner=cand["is_inner"],
+        )
+
+    quads, valid, stats = finalize_quads(
+        quads,
+        cand["valid"],
+        cand["sizes"],
+        cand["overflow"],
+        params,
+        min_edge_length,
+        min_corner_separation,
+    )
     return {
         "quads": quads,
         "valid": valid,
-        "labels": labels,
+        "labels": cand["labels"],
         "coarse_factor": ds,
-        "sizes": sizes,
+        "sizes": cand["sizes"],
         "stats": stats,
     }
 

@@ -28,7 +28,7 @@ def main() -> None:
     from aruco3_tpu.render import random_marker_scene
 
     h, w = 1080, 1920
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 
     cfg = DetectorConfig()
     dictionary = ARDictionary.new_from_named_dict("ARUCO_MIP_36H12")

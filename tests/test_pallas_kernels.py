@@ -45,6 +45,37 @@ def test_fused_frontend_marker_image(rng):
     np.testing.assert_array_equal(np.asarray(coarse), np.asarray(cref))
 
 
+def test_refine_pallas_matches_xla(rng):
+    from aruco3_tpu.ops.refine_pallas import refine_corners_batch
+
+    b, k, h, w, ds = 2, 6, 240, 320, 8
+    wn = segment.refine_window_size(segment.QuadParams(), ds)
+    grey = jnp.asarray(rng.integers(0, 256, size=(b, h, w), dtype=np.uint8))
+    black = jnp.asarray(rng.random((b, h, w)) < 0.3)
+    inner_coarse = jnp.asarray(
+        rng.random((b, -(-h // ds), -(-w // ds))) < 0.5
+    )
+    quads = jnp.asarray(
+        rng.uniform(10, 200, size=(b, k, 4, 2)).astype(np.float32)
+    )
+    cents = jnp.mean(quads, axis=2)
+    is_inner = jnp.asarray(rng.random((b, k)) < 0.5)
+
+    ref = jax.vmap(
+        lambda bl, q, c, g, ic, ii: segment.refine_corners(
+            bl, q, c, ds, wn, grey=g, inner_coarse=ic, is_inner=ii
+        )
+    )(black, quads, cents, grey, inner_coarse, is_inner)
+
+    packed = jax.vmap(
+        lambda g, bl, ic: segment.build_packed_plane(g, bl, ic, ds)
+    )(grey, black, inner_coarse)
+    got = refine_corners_batch(
+        packed, quads, cents, is_inner, ds, wn, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_warp_pallas_matches_mxu(rng):
     h, w, K, S = 480, 640, 8, 49
     grey = jnp.asarray(rng.integers(0, 256, size=(h, w), dtype=np.uint8))
