@@ -201,16 +201,13 @@ class Detector:
 def _use_pallas(cfg: DetectorConfig, width: int = 0) -> bool:
     """Pallas frontend on TPU-like backends; XLA path on CPU / when off.
 
-    Frames wider than ~2048 px would overflow the kernel's VMEM strip
-    budget (strip height scales with the coarse factor), so 4K+ frames take
-    the XLA path until the kernel gains column tiling.
+    The frontend kernel column-tiles, so arbitrary widths (4K+) stay on
+    the Pallas path within the VMEM budget.
     """
     if cfg.use_pallas == "never":
         return False
     if cfg.use_pallas == "always":
         return True
-    if width > 2048:
-        return False
     return jax.default_backend() not in ("cpu",)
 
 
@@ -232,12 +229,22 @@ def detect_batch_arrays(
     grey = frontend.rgb_to_luma_u8(images)  # (B, H, W)
 
     use_pallas = _use_pallas(cfg, grey.shape[-1])
+    pallas_refine = use_pallas and params.refine and ds > 1
     if use_pallas:
         from .ops.frontend_pallas import fused_threshold_open_pool
 
-        black, coarse = fused_threshold_open_pool(
-            grey, cfg.threshold_window, params.open_radius, ds
-        )
+        if pallas_refine:
+            black, coarse, packed = fused_threshold_open_pool(
+                grey,
+                cfg.threshold_window,
+                params.open_radius,
+                ds,
+                emit_packed=True,
+            )
+        else:
+            black, coarse = fused_threshold_open_pool(
+                grey, cfg.threshold_window, params.open_radius, ds
+            )
     else:
 
         def prep(g):
@@ -247,7 +254,7 @@ def detect_batch_arrays(
 
         black, coarse = jax.vmap(prep)(grey)
 
-    if use_pallas and params.refine and ds > 1:
+    if pallas_refine:
         # Batched path: coarse candidate extraction is vmapped, the
         # corner refinement runs as one natively-batched Pallas kernel
         # (per-window DMAs; vmapped dynamic_slice would lower to row
@@ -257,9 +264,22 @@ def detect_batch_arrays(
         cand = jax.vmap(lambda c: segment.extract_candidates(c, params, ds))(
             coarse
         )
-        packed = jax.vmap(
-            lambda g, b, ic: segment.build_packed_plane(g, b, ic, ds)
-        )(grey, black, cand["inner_coarse"])
+        # Bit 9 (inner footprint) joins the frontend's bits 0-8 in one
+        # fused pass: repeat+pad+shift+or over the padded plane.
+        h, w = grey.shape[1], grey.shape[2]
+        if params.max_inner_candidates > 0:
+            ic = cand["inner_coarse"]
+            up = jnp.repeat(jnp.repeat(ic, ds, axis=1), ds, axis=2)
+            up = up[:, : min(up.shape[1], h), : min(up.shape[2], w)]
+            up = jnp.pad(
+                up,
+                (
+                    (0, 0),
+                    (0, packed.shape[1] - up.shape[1]),
+                    (0, packed.shape[2] - up.shape[2]),
+                ),
+            )
+            packed = packed | (up.astype(jnp.int32) << 9)
         wn = segment.refine_window_size(params, ds)
         quads = refine_corners_batch(
             packed,
@@ -268,6 +288,7 @@ def detect_batch_arrays(
             cand["is_inner"],
             ds,
             wn,
+            image_hw=(h, w),
         )
 
         def tail(q, v, sz, ov, g):

@@ -1,24 +1,31 @@
-"""Fused Pallas frontend: adaptive threshold + opening + pooling.
+"""Fused Pallas frontend: adaptive threshold + opening + pooling (+ the
+packed corner-refinement plane).
 
 One kernel pass over the frame computes, entirely in VMEM:
   1. clamped-box adaptive threshold (exact integer compare, semantics of
      frontend.adaptive_threshold / reference aruco.rs:61),
   2. morphological opening of the black mask (segment.open_mask),
-  3. ds x ds black-count pooling via an MXU matmul (segment.pool_black).
+  3. ds x ds black-count row pooling (segment.pool_black's row half),
+  4. optionally the packed int32 refinement plane grey | dilated-black<<8
+     (segment.build_packed_plane bits 0-8) at the padded geometry the
+     refinement kernel (ops.refine_pallas) DMAs from — so the full-res
+     black mask never round-trips HBM for the batched detector path.
 
-The XLA path reads/writes the full frame several times (threshold output,
-opened mask, pooled counts); this kernel reads the u8 frame once and writes
-the opened black mask (u8) plus the tiny coarse mask — the frontend becomes
-HBM-bandwidth-bound on a single pass.
+The XLA path reads/writes the full frame several times; this kernel reads
+the u8 frame once per tile.  Box sums use sliding-window doubling (a
+width-W running sum is assembled from log2(W) shifted partial sums rather
+than W-1 shifted adds).
 
-Layout: frames are zero-padded into (B, Hp + 2*HALO, Wp) with the image at
-rows [HALO, HALO+H) and cols [PAD_W, PAD_W+W); zero padding makes the
-clamped box sums exact (outside-image pixels contribute 0, counts come
-from closed-form per-row/col formulas).  The grid walks (frame, row-strip);
-each step DMAs its strip + halo from HBM, computes, and writes one (TH, Wp)
-black block and one (TH/ds, WCP) coarse block.  The kernel is natively
-batched (batch = leading grid dim) because Pallas can't vmap a manually
-DMA'd ANY-space operand.
+Layout: frames are zero-padded into (B, Hp + 2*HALO + 8, Wp) with the
+image at rows [HALO, HALO+H) and cols [HALO_C, HALO_C+W).  Zero padding
+makes the clamped box sums exact (outside-image pixels contribute 0,
+counts come from closed-form per-row/col formulas).  The grid walks
+(frame, row-strip, col-tile); each step DMAs its tile + halo from HBM and
+writes one (TH, TW) black block, one (TH/ds, TW) row-pool block and
+optionally one (TH, TW) packed block.  Column tiling keeps the VMEM
+working set bounded for arbitrary frame widths (4K+).  The kernel is
+natively batched (batch = leading grid dim) because Pallas can't vmap a
+manually DMA'd ANY-space operand.
 """
 
 from __future__ import annotations
@@ -36,9 +43,58 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _sliding_sum_lanes(x, width: int, roll):
+    """Running sum of ``width`` consecutive lanes: out[i] = sum x[i:i+width].
+
+    Doubling: partial sums of power-of-two widths, combined by the binary
+    decomposition of ``width`` — O(log W) rolls instead of W-1.
+    Lanes rolled in from beyond the array edge must be zero (guaranteed by
+    the zero padding).
+    """
+    sums = {1: x}
+    p = 1
+    while 2 * p <= width:
+        sums[2 * p] = sums[p] + roll(sums[p], -p, 1)
+        p *= 2
+    out = None
+    off = 0
+    rem = width
+    while rem:
+        p = 1 << (rem.bit_length() - 1)
+        term = sums[p] if off == 0 else roll(sums[p], -off, 1)
+        out = term if out is None else out + term
+        off += p
+        rem -= p
+    return out
+
+
+def _sliding_sum_rows(x, width: int, n_out: int, base: int):
+    """Row-direction running sums via static shrinking slices (sublane
+    rolls lower pathologically in Mosaic for int32).
+
+    Returns out[(n_out, lanes)] with out[i] = sum x[base+i : base+i+width].
+    """
+    sums = {1: x}
+    p = 1
+    while 2 * p <= width:
+        prev = sums[p]
+        sums[2 * p] = prev[: prev.shape[0] - p] + prev[p:]
+        p *= 2
+    out = None
+    off = 0
+    rem = width
+    while rem:
+        p = 1 << (rem.bit_length() - 1)
+        term = sums[p][base + off : base + off + n_out]
+        out = term if out is None else out + term
+        off += p
+        rem -= p
+    return out
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("window", "open_radius", "ds", "interpret"),
+    static_argnames=("window", "open_radius", "ds", "interpret", "emit_packed"),
 )
 def fused_threshold_open_pool(
     grey: jnp.ndarray,
@@ -46,55 +102,84 @@ def fused_threshold_open_pool(
     open_radius: int = 2,
     ds: int = 10,
     interpret: bool = False,
+    emit_packed: bool = False,
 ):
     """(B, H, W) or (H, W) uint8 -> (black (…, H, W) bool,
-    coarse (…, Hc, Wc) bool).
+    coarse (…, Hc, Wc) bool[, packed (…, Hpad, Wpad) int32]).
 
     Exact functional match of
       white  = frontend.adaptive_threshold(grey, window)
       black  = segment.open_mask(~white, open_radius)
       coarse = segment.pool_black(black, ds)
+    plus, when ``emit_packed``, bits 0-8 of segment.build_packed_plane
+    (grey | twice-dilated-black << 8) on a zero-padded canvas sized for
+    ops.refine_pallas window DMAs (rows multiple of 8 + slack, cols
+    multiple of 128 + slack).
     """
     squeeze = grey.ndim == 2
     if squeeze:
         grey = grey[None]
     b, h, w = grey.shape
-    halo = window + 2 * open_radius
+    r = open_radius
+    ext = 2 if emit_packed else 0  # extra rows for the near-dilation
+    halo = window + 2 * r + ext
     # Strip height: 8 coarse rows per strip so the coarse output block's
-    # sublane dim is divisible by 8 (TPU tiling constraint); 16 overflows
-    # the 16MB VMEM budget at 1080p.
+    # sublane dim is divisible by 8 (TPU tiling constraint).
     th = 8 * ds
-    hp = _round_up(h, th)
-    # Image sits at column 0; all padding on the right (>= 2*halo) so the
-    # output slice is lane-aligned (a misaligned u8 slice forces a
-    # pathological relayout copy).  Rolls wrap zeros from the right pad.
-    wp = _round_up(w + 2 * halo, 128)
+    # One extra zero strip so downstream consumers (refine window DMAs)
+    # can read past round_up(h, th) without touching uninitialised memory.
+    hp = _round_up(h, th) + (th if emit_packed else 0)
+    halo_c = _round_up(halo, 128)
+    # Column tiles bound VMEM for wide (4K+) frames.  The output width is
+    # a multiple of the tile width and includes >=128 zero columns on the
+    # right (downstream refine-window DMAs read into the padding; every
+    # output tile is visited by the grid, so padding is written zeros).
+    wp_img = _round_up(w, 128)
+    if wp_img <= 2048:
+        tw = wp_img + 128
+        wp = tw
+    else:
+        tw = 1024
+        wp = _round_up(wp_img + 128, tw)
     hc = -(-h // ds)
     wc = -(-w // ds)
-    wcp = _round_up(wc, 128)
     # DMA row-slices of a u8 array must be 8-aligned in the sublane dim.
     tb = _round_up(th + 2 * halo, 8)
 
-    src = jnp.zeros((b, hp + 2 * halo + 8, wp), dtype=jnp.uint8)
-    src = jax.lax.dynamic_update_slice(src, grey, (0, halo, 0))
+    src = jnp.zeros(
+        (b, hp + 2 * halo + 8, halo_c + wp + halo_c), dtype=jnp.uint8
+    )
+    src = jax.lax.dynamic_update_slice(src, grey, (0, halo, halo_c))
 
-    grid = (b, hp // th)
+    n_strips = hp // th
+    n_cols = wp // tw
+    grid = (b, n_strips, n_cols)
+    # Column DMA for tile c reads src cols [c*tw, c*tw + twb): the image
+    # sits at column offset halo_c, so the buffer carries halo_c context
+    # columns each side of the tile.
+    twb = tw + 2 * halo_c
 
-    def kernel(src_hbm, black_ref, rowpool_ref, scratch, sem):
+    def kernel(src_hbm, *refs):
+        if emit_packed:
+            black_ref, rowpool_ref, packed_ref, scratch, sem = refs
+        else:
+            black_ref, rowpool_ref, scratch, sem = refs
+            packed_ref = None
         bi = pl.program_id(0)
         i = pl.program_id(1)
-        # Double-buffered DMA: wait for this step's strip (started by the
-        # previous step), prefetch the next step's strip into the other
-        # slot, then compute — hides the HBM DMA latency behind compute.
-        n_strips = pl.num_programs(1)
-        step = bi * n_strips + i
+        c = pl.program_id(2)
+        step = (bi * n_strips + i) * n_cols + c
         slot = step % 2
 
         def strip_dma(step_idx, slot_idx):
-            sbi = step_idx // n_strips
-            si = step_idx % n_strips
+            sbi = step_idx // (n_strips * n_cols)
+            rem = step_idx % (n_strips * n_cols)
+            si = rem // n_cols
+            sc = rem % n_cols
             return pltpu.make_async_copy(
-                src_hbm.at[sbi, pl.ds(si * th, tb)],
+                src_hbm.at[
+                    sbi, pl.ds(si * th, tb), pl.ds(sc * tw, twb)
+                ],
                 scratch.at[slot_idx],
                 sem.at[slot_idx],
             )
@@ -103,7 +188,7 @@ def fused_threshold_open_pool(
         def _():
             strip_dma(step, slot).start()
 
-        last = pl.num_programs(0) * n_strips - 1
+        last = pl.num_programs(0) * n_strips * n_cols - 1
 
         @pl.when(step < last)
         def _():
@@ -111,27 +196,30 @@ def fused_threshold_open_pool(
 
         strip_dma(step, slot).wait()
 
-        g = scratch[slot].astype(jnp.int32)  # (tb, wp)
+        g = scratch[slot].astype(jnp.int32)  # (tb, twb)
 
         def roll(a, shift, axis):
             n = a.shape[axis]
             return pltpu.roll(a, shift % n, axis=axis)
 
         # --- clamped box sums (zero padding makes plain sums exact) ---
-        colsum = g
-        for dx in range(1, window + 1):
-            colsum = colsum + roll(g, -dx, 1) + roll(g, dx, 1)
-        r2 = 2 * open_radius
+        # Column direction: width (2*window+1) sliding sum, centred via a
+        # +window lane roll (the rolled-in right-edge lanes are zero pad).
+        colsum = roll(
+            _sliding_sum_lanes(g, 2 * window + 1, roll), window, 1
+        )
+        r2 = 2 * r + ext
         nrows = th + 2 * r2
+        # Row direction: sliding sums over the strip buffer; row 0 of the
+        # output corresponds to absolute image row i*th - r2.
         off = halo - r2 - window  # == 0 by construction
-        sums = colsum[off : off + nrows]
-        for dy in range(1, 2 * window + 1):
-            sums = sums + colsum[off + dy : off + dy + nrows]
+        sums = _sliding_sum_rows(colsum, 2 * window + 1, nrows, off)
 
         # --- counts (closed form, position-dependent at borders) ---
         row0 = i * th - r2  # absolute image row of sums[0]
-        rows_abs = row0 + jax.lax.broadcasted_iota(jnp.int32, (nrows, wp), 0)
-        cols_abs = jax.lax.broadcasted_iota(jnp.int32, (nrows, wp), 1)
+        col0 = c * tw - halo_c  # absolute image col of lane 0
+        rows_abs = row0 + jax.lax.broadcasted_iota(jnp.int32, (nrows, twb), 0)
+        cols_abs = col0 + jax.lax.broadcasted_iota(jnp.int32, (nrows, twb), 1)
         crow = (
             jnp.clip(rows_abs + window, 0, h - 1)
             - jnp.clip(rows_abs - window, 0, h - 1)
@@ -156,59 +244,96 @@ def fused_threshold_open_pool(
         # boundary semantics: erosion sees True outside the image, the
         # eroded mask is cleared outside the image before dilation.
         # Row shifts are *shrinking static slices* (sublane rolls on int32
-        # compile to a pathological Mosaic path: ~20x runtime and minutes
-        # of compile); lane shifts are cheap rolls.  Each round consumes
-        # one halo row per side; after 2r rounds exactly th rows remain.
+        # compile to a pathological Mosaic path); lane shifts are cheap
+        # rolls.  Each round consumes one halo row per side.
         def neigh_shrink(m, op):
             rows = op(op(m[0:-2], m[1:-1]), m[2:])
             return op(op(rows, roll(rows, 1, 1)), roll(rows, -1, 1))
 
         m = black
-        for _ in range(open_radius):
+        for _ in range(r):
             m = neigh_shrink(m, jnp.minimum)
-        if open_radius:
-            m = m * inside_i[open_radius:-open_radius]
-        for _ in range(open_radius):
+        if r:
+            m = m * inside_i[r:-r]
+        for _ in range(r):
             m = neigh_shrink(m, jnp.maximum)
-        central = (m * inside_i[r2:-r2]) if r2 else (m * inside_i)  # (th, wp)
-        black_ref[0] = central.astype(jnp.uint8)
+        # m now has th + 2*ext rows (opened black + ext rows each side).
+        if ext:
+            opened_mid = m[ext:-ext] * inside_i[r2:-r2]
+            near = m
+            for _ in range(ext):
+                near = neigh_shrink(near, jnp.maximum)
+            near = near * inside_i[r2:-r2]  # (th, twb)
+        else:
+            opened_mid = m * inside_i[r2:-r2] if r2 else m * inside_i
+            near = None
+        central = opened_mid  # (th, twb)
+        lane0 = halo_c
+        black_ref[0] = central[:, lane0 : lane0 + tw].astype(jnp.uint8)
+
+        if packed_ref is not None:
+            gm = gmid[r2:-r2] if r2 else gmid
+            packed = gm | (near << 8)
+            packed = packed * inside_i[r2:-r2]
+            packed_ref[0] = packed[:, lane0 : lane0 + tw]
 
         # --- row pooling (sublane reshape-sum); column pooling is a tiny
-        # XLA op outside the kernel (a resident weight matrix here would be
-        # re-fetched every grid step).
-        rowpool = central.reshape(th // ds, ds, wp).sum(axis=1)
+        # XLA op outside the kernel.
+        rowpool = (
+            central[:, lane0 : lane0 + tw]
+            .reshape(th // ds, ds, tw)
+            .sum(axis=1)
+        )
         rowpool_ref[0] = rowpool.astype(jnp.uint8)
 
-    black_pad, rowpool_pad = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec(
+            (1, th, tw), lambda bi, i, c: (bi, i, c), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, th // ds, tw),
+            lambda bi, i, c: (bi, i, c),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((b, hp, wp), jnp.uint8),
+        jax.ShapeDtypeStruct((b, hp // ds, wp), jnp.uint8),
+    ]
+    if emit_packed:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, th, tw),
+                lambda bi, i, c: (bi, i, c),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((b, hp, wp), jnp.int32))
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[
-            pl.BlockSpec(
-                (1, th, wp), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, th // ds, wp),
-                lambda bi, i: (bi, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, hp, wp), jnp.uint8),
-            jax.ShapeDtypeStruct((b, hp // ds, wp), jnp.uint8),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((2, tb, wp), jnp.uint8),
+            pltpu.VMEM((2, tb, twb), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(src)
 
+    black_pad, rowpool_pad = outs[0], outs[1]
     black = black_pad[:, :h, :w] != 0
     # Column pooling of the per-row counts (tiny, stays in XLA).
     rp = rowpool_pad[:, :hc, : wc * ds].astype(jnp.int32)
     pooled = rp.reshape(b, hc, wc, ds).sum(axis=-1)
     coarse = pooled * 2 >= max(ds, 2)
+    if emit_packed:
+        packed = outs[2]
+        if squeeze:
+            return black[0], coarse[0], packed[0]
+        return black, coarse, packed
     if squeeze:
         return black[0], coarse[0]
     return black, coarse

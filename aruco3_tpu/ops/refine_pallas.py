@@ -134,8 +134,8 @@ def refine_eval(
                 & (cols < tx + wn)
             )
             near8 = (win >> 8) & 1
-            near9 = (win >> 9) & 1
-            near = jnp.where(is_inner, near9, near8) == 1
+            up9 = (win >> 9) & 1
+            near = jnp.where(is_inner, near8 & up9, near8) == 1
             g8 = (win & 255).astype(jnp.float32)
             mean = jnp.sum(jnp.where(sel, g8, 0.0)) * inv_area
             ink = (g8 < mean) & near
@@ -195,24 +195,38 @@ def refine_eval(
 
 
 def refine_corners_batch(
-    packed: jnp.ndarray,  # (B, H, W) int32 (unpadded ok)
+    packed: jnp.ndarray,  # (B, >=H, >=W) int32 (pre-padded planes ok)
     quads: jnp.ndarray,  # (B, K, 4, 2) float32
     centroids: jnp.ndarray,  # (B, K, 2)
     is_inner: jnp.ndarray,  # (B, K) bool
     ds: int,
     wn: int,
+    image_hw: tuple[int, int] | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Batched drop-in for segment.refine_corners over a frame batch."""
-    b, h, w = packed.shape
+    """Batched drop-in for segment.refine_corners over a frame batch.
+
+    ``packed`` may be larger than the image (e.g. the fused frontend's
+    padded plane); pass ``image_hw`` in that case.  Padding must carry
+    zero mask bits.  If the plane is too small for the aligned window
+    DMAs it is re-padded here.
+    """
+    b = packed.shape[0]
+    h, w = image_hw or packed.shape[1:]
     k = quads.shape[1]
     clamp_r = ds + 2
     sh = _round_up(wn + 7, 8)
     sw = _round_up(wn + 127, 128)
-    hp = _round_up(h, 8) + sh
-    wp = _round_up(w, 128) + sw
-    pad = jnp.zeros((b, hp, wp), jnp.int32)
-    pad = jax.lax.dynamic_update_slice(pad, packed, (0, 0, 0))
+    # Aligned window DMAs reach at most [align8(h-wn)+sh, align128(w-wn)+sw).
+    need_h = (max(h - wn, 0) // 8) * 8 + sh
+    need_w = (max(w - wn, 0) // 128) * 128 + sw
+    if packed.shape[1] >= need_h and packed.shape[2] >= need_w:
+        pad = packed
+    else:
+        hp = max(_round_up(packed.shape[1], 8), need_h)
+        wp = max(_round_up(packed.shape[2], 128), need_w)
+        pad = jnp.zeros((b, hp, wp), jnp.int32)
+        pad = jax.lax.dynamic_update_slice(pad, packed, (0, 0, 0))
 
     dirs = quads - centroids[:, :, None, :]
     dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-6)

@@ -661,11 +661,13 @@ def build_packed_plane(
     inner_coarse: jnp.ndarray,
     ds: int,
 ) -> jnp.ndarray:
-    """(H, W) int32 refinement plane: grey | near<<8 | inner-near<<9.
+    """(H, W) int32 refinement plane: grey | near<<8 | inner-footprint<<9.
 
     near = twice-dilated opened-black ("ink lives within 2 px of the
-    opened component"); the inner bit additionally restricts to the
-    upsampled inner-component footprint (see refine_corners docstring).
+    opened component"); bit 9 is the upsampled inner-component footprint
+    alone — the refinement kernel ANDs bits 8 and 9 for inner lanes (see
+    refine_corners docstring), which keeps bit 9 independent of bit 8 so
+    the fused frontend can emit bits 0-8 and this combine stays one pass.
     """
     h, w = grey.shape
     near = _dilate3(_dilate3(black))
@@ -673,7 +675,7 @@ def build_packed_plane(
     return (
         grey.astype(jnp.int32)
         | (near.astype(jnp.int32) << 8)
-        | ((near & up).astype(jnp.int32) << 9)
+        | (up.astype(jnp.int32) << 9)
     )
 
 

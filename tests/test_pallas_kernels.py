@@ -30,6 +30,35 @@ def test_fused_frontend_matches_xla(shape, ds, rng):
     np.testing.assert_array_equal(np.asarray(coarse), np.asarray(cref))
 
 
+@pytest.mark.parametrize(
+    "shape,ds",
+    [((1, 123, 217), 3), ((1, 240, 320), 4), ((1, 270, 2400), 10)],
+)
+def test_fused_frontend_packed_plane(shape, ds, rng):
+    """emit_packed bits 0-8 must equal the XLA packed plane; the padding
+    (which the refinement kernel DMAs into) must be written zeros.
+    The wide case exercises the column-tiled (4K-class) path."""
+    g = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    h, w = shape[1], shape[2]
+    black, coarse, packed = fused_threshold_open_pool(
+        jnp.asarray(g), 7, 2, ds, interpret=True, emit_packed=True
+    )
+    bref = jax.vmap(
+        lambda x: segment.open_mask(~frontend.adaptive_threshold(x, 7), 2)
+    )(jnp.asarray(g))
+    zero_inner = jnp.zeros(
+        (shape[0], -(-h // ds), -(-w // ds)), dtype=bool
+    )
+    pref = jax.vmap(
+        lambda gg, bb, ii: segment.build_packed_plane(gg, bb, ii, ds)
+    )(jnp.asarray(g), bref, zero_inner)
+    got = np.asarray(packed)
+    np.testing.assert_array_equal(got[:, :h, :w], np.asarray(pref))
+    np.testing.assert_array_equal(np.asarray(black), np.asarray(bref))
+    assert (got[:, h:, :] == 0).all()
+    assert (got[:, :, w:] == 0).all()
+
+
 def test_fused_frontend_marker_image(rng):
     d = ARDictionary.new_from_named_dict("ARUCO_DEFAULT")
     corners = np.array([[60, 50], [260, 60], [250, 250], [55, 240]], float)
