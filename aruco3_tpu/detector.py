@@ -259,11 +259,19 @@ def detect_batch_arrays(
         # corner refinement runs as one natively-batched Pallas kernel
         # (per-window DMAs; vmapped dynamic_slice would lower to row
         # gathers — the dominant cost of the XLA path).
+        from .ops.coarse_pallas import coarse_labels
         from .ops.refine_pallas import refine_corners_batch
 
-        cand = jax.vmap(lambda c: segment.extract_candidates(c, params, ds))(
-            coarse
+        labels1, labels2 = coarse_labels(
+            coarse,
+            params.bg_rounds,
+            params.fill_rounds,
+            params.ccl_rounds,
+            inner=params.max_inner_candidates > 0,
         )
+        cand = jax.vmap(
+            lambda a, c: segment.candidates_from_labels(a, c, params, ds)
+        )(labels1, labels2)
         # Bit 9 (inner footprint) joins the frontend's bits 0-8 in one
         # fused pass: repeat+pad+shift+or over the padded plane.
         h, w = grey.shape[1], grey.shape[2]
@@ -289,17 +297,33 @@ def detect_batch_arrays(
             ds,
             wn,
             image_hw=(h, w),
+            valid=cand["valid"],
         )
 
-        def tail(q, v, sz, ov, g):
-            q, v, stats = segment.finalize_quads(
+        def gate(q, v, sz, ov):
+            return segment.finalize_quads(
                 q, v, sz, ov, params, min_edge, min_sep
             )
-            return _decode_tail(g, q, v, stats, dictionary, cfg, ds)
 
-        out = jax.vmap(tail)(
-            quads, cand["valid"], cand["sizes"], cand["overflow"], grey
+        quads, valid, stats = jax.vmap(gate)(
+            quads, cand["valid"], cand["sizes"], cand["overflow"]
         )
+
+        # Homography + warp: batched, windows DMA'd by the warp kernel.
+        s = cfg.homography_sample_size
+        H, h_valid = rectify.homography_square_to_quad(quads, s)
+        canvas, offsets, shapes = rectify.build_packed_pyramid(
+            grey, _num_levels(h, w)
+        )
+        patches = rectify.warp_patches_dma(
+            canvas, offsets, shapes, H, quads, s, valid=valid & h_valid
+        )
+
+        out = jax.vmap(
+            lambda q, v, hv, p, st: _match_tail(
+                q, v, hv, p, st, dictionary, cfg
+            )
+        )(quads, valid, h_valid, patches, stats)
     else:
 
         def tail(g, b, c):
@@ -365,6 +389,12 @@ def _detect_tail(
     )
 
 
+def _num_levels(h: int, w: int) -> int:
+    import math
+
+    return max(1, int(math.ceil(math.log2(max(h, w) / 60.0))) + 1)
+
+
 def _decode_tail(
     grey: jnp.ndarray,
     quads: jnp.ndarray,
@@ -379,16 +409,23 @@ def _decode_tail(
     if cfg.warp_impl == "gather":
         patches = rectify.warp_patches(grey, H, s)
     else:
-        import math
-
-        levels = max(
-            1,
-            int(math.ceil(math.log2(max(grey.shape[0], grey.shape[1]) / 60.0)))
-            + 1,
-        )
+        levels = _num_levels(grey.shape[0], grey.shape[1])
         pyramid = rectify.build_pyramid(grey, levels)
         patches = rectify.warp_patches_mxu(pyramid, H, quads, s)
+    return _match_tail(
+        quads, quad_valid, h_valid, patches, stats, dictionary, cfg
+    )
 
+
+def _match_tail(
+    quads: jnp.ndarray,
+    quad_valid: jnp.ndarray,
+    h_valid: jnp.ndarray,
+    patches: jnp.ndarray,
+    stats: dict,
+    dictionary: ARDictionary,
+    cfg: DetectorConfig,
+):
     mark_size = dictionary.get_mark_size()
     bits, border_valid = rectify.decode_patches(patches, mark_size)
 

@@ -41,15 +41,17 @@ def refine_eval(
     dirs: jnp.ndarray,  # (N, 2) float32 outward corner direction
     corners: jnp.ndarray,  # (N, 2) float32 coarse corner (x, y)
     inner: jnp.ndarray,  # (N,) bool — use bit 9 (inner footprint) as ink
+    valid: jnp.ndarray,  # (N,) bool — invalid windows skip their DMA
     wn: int,
     clamp_r: int,
     interpret: bool = False,
 ):
     """Refined corners for N windows.
 
-    Returns (x (N,), y (N,), has (N,) bool).  ``packed`` must be padded so
-    [align8(tly), +SH) x [align128(tlx), +SW) stays in bounds, with pad
-    pixels carrying zero mask bits.
+    Returns (x (N,), y (N,), has (N,) bool); outputs of invalid windows
+    are garbage — mask with ``valid`` downstream.  ``packed`` must be
+    padded so [align8(tly), +SH) x [align128(tlx), +SW) stays in bounds,
+    with pad pixels carrying zero mask bits.
     """
     n = tly.shape[0]
     npad = _round_up(max(n, _G), _G)
@@ -65,6 +67,7 @@ def refine_eval(
     bidx_p = padi(bidx)
     by_p = padi(by)
     bx_p = padi(bx)
+    valid_p = padi(valid)
 
     params = jnp.zeros((npad, 128), jnp.float32)
     params = params.at[:n, 0].set(dirs[:, 0])
@@ -78,8 +81,8 @@ def refine_eval(
     grid = (npad // _G,)
 
     def kernel(
-        bidx_ref, by_ref, bx_ref, params_ref, packed_ref, out_ref,
-        scratch, sems,
+        bidx_ref, by_ref, bx_ref, valid_ref, params_ref, packed_ref,
+        out_ref, scratch, sems,
     ):
         i = pl.program_id(0)
         nsteps = pl.num_programs(0)
@@ -96,17 +99,25 @@ def refine_eval(
                 sems.at[slot, g],
             )
 
+        def start_group(step, slot):
+            # Invalid lanes skip their DMA — the issue overhead, not the
+            # bytes, dominates this kernel, and most candidate lanes are
+            # invalid in typical frames.
+            for g in range(_G):
+
+                @pl.when(valid_ref[step * _G + g] != 0)
+                def _():
+                    dma(step, slot, g).start()
+
         slot = i % 2
 
         @pl.when(i == 0)
         def _():
-            for g in range(_G):
-                dma(0, 0, g).start()
+            start_group(0, 0)
 
         @pl.when(i + 1 < nsteps)
         def _():
-            for g in range(_G):
-                dma(i + 1, 1 - slot, g).start()
+            start_group(i + 1, 1 - slot)
 
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (sh, sw), 0)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (sh, sw), 1)
@@ -114,8 +125,12 @@ def refine_eval(
         inv_area = 1.0 / float(wn * wn)
 
         for g in range(_G):
-            dma(i, slot, g).wait()
-            win = scratch[slot, g]  # (sh, sw) int32
+
+            @pl.when(valid_ref[i * _G + g] != 0)
+            def _():
+                dma(i, slot, g).wait()
+
+            win = scratch[slot, g]  # (sh, sw) int32; stale if invalid
             widx = i * _G + g
             p = params_ref[g]
             dirx, diry = p[0], p[1]
@@ -169,7 +184,7 @@ def refine_eval(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
@@ -189,7 +204,7 @@ def refine_eval(
         ),
         out_shape=jax.ShapeDtypeStruct((npad, 128), jnp.float32),
         interpret=interpret,
-    )(bidx_p, by_p, bx_p, params, packed)
+    )(bidx_p, by_p, bx_p, valid_p, params, packed)
 
     return out[:n, 0], out[:n, 1], out[:n, 2] > 0.5
 
@@ -202,6 +217,7 @@ def refine_corners_batch(
     ds: int,
     wn: int,
     image_hw: tuple[int, int] | None = None,
+    valid: jnp.ndarray | None = None,  # (B, K) bool lane validity
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Batched drop-in for segment.refine_corners over a frame batch.
@@ -238,6 +254,9 @@ def refine_corners_batch(
     )
     nw = b * k * 4
     bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k * 4)
+    if valid is None:
+        valid = jnp.ones((b, k), dtype=bool)
+    valid4 = jnp.broadcast_to(valid[:, :, None], (b, k, 4))
     x, y, has = refine_eval(
         pad,
         bidx,
@@ -246,10 +265,11 @@ def refine_corners_batch(
         dirs.reshape(nw, 2),
         quads.reshape(nw, 2),
         jnp.broadcast_to(is_inner[:, :, None], (b, k, 4)).reshape(nw),
+        valid4.reshape(nw),
         wn,
         clamp_r,
         interpret=interpret,
     )
     refined = jnp.stack([x, y], axis=-1).reshape(b, k, 4, 2)
-    hasr = has.reshape(b, k, 4)
+    hasr = has.reshape(b, k, 4) & valid4  # invalid lanes carry garbage
     return jnp.where(hasr[..., None], refined, quads)

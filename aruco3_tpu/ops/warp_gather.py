@@ -1,0 +1,166 @@
+"""Pallas warp kernel: per-candidate window DMA + bilinear eval on MXU.
+
+The XLA warp (rectify.warp_patches_mxu) extracts one 64x64 window per
+candidate with vmapped dynamic_slice (row gathers — the dominant cost)
+and materializes (B, K, S^2, 64) bf16 weight tensors in HBM.  This kernel
+DMAs each candidate's window from the packed bf16 pyramid canvas, builds
+the separable bilinear weights in VMEM, and runs the two contractions on
+the MXU — windows and weights never touch HBM; only the (S^2,) sample
+vector per candidate does.
+
+Window geometry: the DMA reads a (SH=80, 256)-aligned block; the true
+64-lane window starts at a 64-multiple inside it (selected by a static
+half-shift), rows carry a <=15-row alignment offset folded into the
+sample coordinates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+_G = 8  # windows per grid step
+_SH = 80  # buffer rows: 64-row window + <=15 alignment + pad to 16
+_SW = 256  # buffer lanes: 128-lane span + <=64 alignment + pad to 128
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def warp_gather_eval(
+    canvas: jnp.ndarray,  # (B, Hc, Wc) bfloat16, Hc % 16 == 0, Wc % 128 == 0
+    bidx: jnp.ndarray,  # (N,) int32 frame index
+    by: jnp.ndarray,  # (N,) int32 row base (multiple of 16)
+    bx: jnp.ndarray,  # (N,) int32 lane base (multiple of 128)
+    half: jnp.ndarray,  # (N,) int32 in {0, 1}: window starts at bx + 64*half
+    valid: jnp.ndarray,  # (N,) bool — invalid windows skip their DMA
+    ux: jnp.ndarray,  # (N, S2) f32 sample x relative to the 128-lane window
+    uy: jnp.ndarray,  # (N, S2) f32 sample y relative to row base
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bilinear samples (N, S2): sum_xy wx[s,x] wy[s,y] window[y,x].
+
+    Invalid windows return garbage — mask downstream."""
+    n, s2 = ux.shape
+    s2p = _round_up(s2, 128)
+    npad = _round_up(max(n, _G), _G)
+
+    def padi(a):
+        return jnp.zeros((npad,), jnp.int32).at[:n].set(a.astype(jnp.int32))
+
+    bidx_p, by_p, bx_p = padi(bidx), padi(by), padi(bx)
+    half_p = padi(half)
+    valid_p = padi(valid)
+    uxp = jnp.full((npad, s2p), -1e6, jnp.float32).at[:n, :s2].set(ux)
+    uyp = jnp.full((npad, s2p), -1e6, jnp.float32).at[:n, :s2].set(uy)
+
+    grid = (npad // _G,)
+
+    def kernel(
+        bidx_ref, by_ref, bx_ref, half_ref, valid_ref, ux_ref, uy_ref,
+        canvas_ref, out_ref, scratch, sems,
+    ):
+        i = pl.program_id(0)
+        nsteps = pl.num_programs(0)
+
+        def dma(step, slot, g):
+            widx = step * _G + g
+            return pltpu.make_async_copy(
+                canvas_ref.at[
+                    bidx_ref[widx],
+                    pl.ds(pl.multiple_of(by_ref[widx], 16), _SH),
+                    pl.ds(pl.multiple_of(bx_ref[widx], 128), _SW),
+                ],
+                scratch.at[slot, g],
+                sems.at[slot, g],
+            )
+
+        def start_group(step, slot):
+            # Invalid lanes skip their DMA: issue overhead dominates and
+            # most candidate lanes are invalid in typical frames.
+            for g in range(_G):
+
+                @pl.when(valid_ref[step * _G + g] != 0)
+                def _():
+                    dma(step, slot, g).start()
+
+        slot = i % 2
+
+        @pl.when(i == 0)
+        def _():
+            start_group(0, 0)
+
+        @pl.when(i + 1 < nsteps)
+        def _():
+            start_group(i + 1, 1 - slot)
+
+        # Transposed formulation: every tensor keeps S2 (128-multiple) in
+        # the lane dimension — (s2p, 80)-shaped lanes would force ragged
+        # relayouts.
+        ic = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0).astype(
+            jnp.float32
+        )
+        ir = jax.lax.broadcasted_iota(jnp.int32, (_SH, 1), 0).astype(
+            jnp.float32
+        )
+
+        for g in range(_G):
+
+            @pl.when(valid_ref[i * _G + g] != 0)
+            def _():
+                dma(i, slot, g).wait()
+
+            widx = i * _G + g
+            buf = scratch[slot, g]  # (_SH, _SW) bf16
+            win = jnp.where(
+                half_ref[widx] == 0, buf[:, :128], buf[:, 64:192]
+            )  # (_SH, 128)
+            # wxT[x, s] = weight of window column x for sample s.
+            wxt = jnp.maximum(
+                0.0, 1.0 - jnp.abs(ux_ref[g][None, :] - ic)
+            ).astype(jnp.bfloat16)  # (128, s2p)
+            t = jnp.dot(
+                win, wxt, preferred_element_type=jnp.float32
+            )  # (_SH, s2p)
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(uy_ref[g][None, :] - ir))
+            out_ref[g] = jnp.sum(wy * t, axis=0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (_G, s2p),
+                    lambda i, *_refs: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (_G, s2p),
+                    lambda i, *_refs: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (_G, s2p), lambda i, *_refs: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, _G, _SH, _SW), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2, _G)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((npad, s2p), jnp.float32),
+        interpret=interpret,
+    )(bidx_p, by_p, bx_p, half_p, valid_p, uxp, uyp, canvas)
+
+    return out[:n, :s2]

@@ -296,6 +296,183 @@ def warp_patches_pallas(
 
 
 # --------------------------------------------------------------------------
+# Bilinear patch warp — Pallas DMA path (batched; windows never hit HBM)
+# --------------------------------------------------------------------------
+def build_packed_pyramid(grey: jnp.ndarray, levels: int):
+    """(B, H, W) u8 -> one bf16 canvas with all pyramid levels stacked.
+
+    Level semantics match build_pyramid exactly (pad to >=64/even, 2x2 box
+    mean).  16 zero rows separate levels and >=192 zero lanes pad the
+    right edge so the warp kernel's aligned (80, 256) window DMAs can
+    never read another level's pixels (zeros == the black default).
+
+    Returns (canvas (B, Hcan, Wcan) bf16, row_offsets, level_shapes).
+    """
+    b, h, w = grey.shape
+    img = grey.astype(jnp.bfloat16)
+    padded_levels = []
+    shapes = []
+    for _ in range(levels):
+        hh, ww = img.shape[1], img.shape[2]
+        ph = max(hh, _WARP_WIN) + (hh % 2)
+        pw = max(ww, _WARP_WIN) + (ww % 2)
+        padded = jnp.pad(img, ((0, 0), (0, ph - hh), (0, pw - ww)))
+        padded_levels.append(padded)
+        shapes.append((ph, pw))
+        # 2x2 box means as two 2-hot MXU matmuls (strided slices and
+        # reshape-sums both lower poorly on TPU).  bf16 inputs with f32
+        # accumulation: <=0.25 grey rounding per level — far below the
+        # Otsu margin downstream.
+        rsel = np.zeros((ph // 2, ph), np.float32)
+        rsel[np.arange(ph) // 2, np.arange(ph)] = 1.0
+        csel = np.zeros((pw, pw // 2), np.float32)
+        csel[np.arange(pw), np.arange(pw) // 2] = 0.25
+        r = jnp.einsum(
+            "rh,bhw->brw",
+            jnp.asarray(rsel, dtype=jnp.bfloat16),
+            padded,
+            preferred_element_type=jnp.float32,
+        )
+        img = jnp.einsum(
+            "brw,wc->brc",
+            r.astype(jnp.bfloat16),
+            jnp.asarray(csel, dtype=jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+    w0 = shapes[0][1]
+    wcan = -(-w0 // 128) * 128 + 256
+    rows = []
+    offsets = []
+    off = 0
+    for padded, (ph, pw) in zip(padded_levels, shapes):
+        offsets.append(off)
+        # Cast before pad/concat (halves assembly traffic) and keep every
+        # level block a multiple of 16 rows so the bf16 (16, 128)-tile
+        # concat needs no relayout.
+        block_h = -(-(ph + 16) // 16) * 16
+        rows.append(
+            jnp.pad(
+                padded.astype(jnp.bfloat16),
+                ((0, 0), (0, block_h - ph), (0, wcan - pw)),
+            )
+        )
+        off += block_h
+    canvas = jnp.concatenate(rows, axis=1)
+    hcan = off + 96
+    canvas = jnp.pad(canvas, ((0, 0), (0, hcan - off), (0, 0)))
+    return canvas, offsets, shapes
+
+
+def warp_patches_dma(
+    canvas: jnp.ndarray,
+    offsets: list[int],
+    shapes: list[tuple[int, int]],
+    H: jnp.ndarray,  # (B, K, 3, 3)
+    quads: jnp.ndarray,  # (B, K, 4, 2)
+    patch_size: int,
+    valid: jnp.ndarray | None = None,  # (B, K) lane validity
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched warp via the Pallas window-DMA kernel (ops.warp_gather).
+
+    Same sampling semantics as warp_patches_mxu (per-candidate pyramid
+    level, bilinear separable weights, black outside); numerics match to
+    bf16 rounding.
+    """
+    from .ops.warp_gather import warp_gather_eval
+
+    b, k = H.shape[0], H.shape[1]
+    s = patch_size
+    levels = len(shapes)
+    win = _WARP_WIN
+
+    ys, xs = jnp.meshgrid(
+        jnp.arange(s, dtype=jnp.float32),
+        jnp.arange(s, dtype=jnp.float32),
+        indexing="ij",
+    )
+    pix = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1).reshape(-1, 3)
+    src = jnp.einsum("bkij,pj->bkpi", H, pix, precision=_HIGHEST)
+    wdiv = src[..., 2]
+    wsafe = jnp.where(jnp.abs(wdiv) < 1e-12, 1.0, wdiv)
+    sx = src[..., 0] / wsafe  # (B, K, S2) image coords
+    sy = src[..., 1] / wsafe
+    bad = jnp.abs(wdiv) < 1e-12
+
+    bmin = jnp.min(quads, axis=-2)
+    bmax = jnp.max(quads, axis=-2)
+    side = jnp.max(bmax - bmin, axis=-1) + 4.0
+    lvl = jnp.clip(
+        jnp.ceil(jnp.log2(jnp.maximum(side / (win - 4.0), 1e-3))),
+        0,
+        levels - 1,
+    ).astype(jnp.int32)
+    center = (bmin + bmax) * 0.5
+
+    all_ty, all_tx, all_ux, all_uy = [], [], [], []
+    for level in range(levels):
+        hl, wl = shapes[level]
+        scale = float(2**level)
+        cl = (center + 0.5) / scale - 0.5
+        tlx = jnp.clip(
+            jnp.round(cl[..., 0]).astype(jnp.int32) - win // 2, 0, wl - win
+        )
+        tly = jnp.clip(
+            jnp.round(cl[..., 1]).astype(jnp.int32) - win // 2, 0, hl - win
+        )
+        all_ux.append((sx + 0.5) / scale - 0.5)
+        all_uy.append((sy + 0.5) / scale - 0.5 + float(offsets[level]))
+        all_tx.append(tlx)
+        all_ty.append(tly + offsets[level])
+
+    def sel(stack, zero=0):
+        return sum(
+            jnp.where(
+                (lvl == level)[..., None]
+                if stack[0].ndim == 3
+                else lvl == level,
+                stack[level],
+                zero,
+            )
+            for level in range(levels)
+        )
+
+    ty = sel(all_ty)  # (B, K) canvas rows
+    tx = sel(all_tx)
+    uxl = sel(all_ux, 0.0)  # (B, K, S2) level coords
+    uyl = sel(all_uy, 0.0)  # canvas rows
+
+    s64 = (tx // 64) * 64
+    bx = (s64 // 128) * 128
+    half = (s64 - bx) // 64
+    by = (ty // 16) * 16
+    ux_rel = uxl - s64[..., None].astype(jnp.float32)
+    uy_rel = uyl - by[..., None].astype(jnp.float32)
+
+    n = b * k
+    s2 = s * s
+    bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
+    if valid is None:
+        valid = jnp.ones((b, k), dtype=bool)
+    vals = warp_gather_eval(
+        canvas,
+        bidx,
+        by.reshape(n),
+        bx.reshape(n),
+        half.reshape(n),
+        valid.reshape(n),
+        ux_rel.reshape(n, s2),
+        uy_rel.reshape(n, s2),
+        interpret=interpret,
+    )
+    # Invalid lanes skipped their window DMA (garbage) — zero them, like
+    # degenerate-homography samples.
+    keep = valid.reshape(n, 1) & ~bad.reshape(n, s2)
+    vals = jnp.where(keep, vals, 0.0)
+    return vals.reshape(b, k, s, s)
+
+
+# --------------------------------------------------------------------------
 # Bilinear patch warp — gather path (portable oracle)
 # --------------------------------------------------------------------------
 def warp_patches(

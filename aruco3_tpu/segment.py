@@ -581,9 +581,6 @@ def extract_candidates(coarse: jnp.ndarray, params: QuadParams, ds: int):
     reference's candidate list is unbounded, aruco.rs:124-166 — capacity
     loss must be observable).
     """
-    k1 = params.max_candidates
-    k2 = params.max_inner_candidates
-
     bg = flood_from_border(coarse, params.bg_rounds)
     m1 = coarse & ~bg
     # Outside medium: everything reachable from the border without crossing
@@ -591,10 +588,8 @@ def extract_candidates(coarse: jnp.ndarray, params: QuadParams, ds: int):
     outside = flood_from_border(~m1, params.fill_rounds)
     filled1 = m1 | (~m1 & ~outside)
     labels = label_components(filled1, params.ccl_rounds)
-    fit = fit_quads(labels, ds, params, k=k1)
-    overflow = jnp.maximum(fit["qualifying"] - k1, 0)
 
-    if k2 > 0:
+    if params.max_inner_candidates > 0:
         # Inner pass: m1 cells with no m1-path to the outside medium — a
         # marker ring enclosed by another black structure (dark-background
         # halo, dark plate) plus, harmlessly, code-cell blobs of ordinary
@@ -603,6 +598,28 @@ def extract_candidates(coarse: jnp.ndarray, params: QuadParams, ds: int):
         m2 = m1 & ~lvl1
         filled2 = fill_holes(m2, params.fill_rounds)
         labels2 = label_components(filled2, params.ccl_rounds)
+    else:
+        labels2 = jnp.full_like(labels, labels.size)
+    return candidates_from_labels(labels, labels2, params, ds)
+
+
+def candidates_from_labels(
+    labels: jnp.ndarray, labels2: jnp.ndarray, params: QuadParams, ds: int
+):
+    """Fit + merge the outer/inner label planes into K candidate lanes.
+
+    Shared by the XLA path (extract_candidates) and the fused Pallas
+    coarse kernel (ops.coarse_pallas.coarse_labels), which produce
+    identical label planes.
+    """
+    k1 = params.max_candidates
+    k2 = params.max_inner_candidates
+
+    fit = fit_quads(labels, ds, params, k=k1)
+    overflow = jnp.maximum(fit["qualifying"] - k1, 0)
+
+    if k2 > 0:
+        filled2 = labels2 < labels2.size  # sentinel == grid size
         fit2 = fit_quads(labels2, ds, params, k=k2)
         overflow = overflow + jnp.maximum(fit2["qualifying"] - k2, 0)
 
@@ -637,7 +654,7 @@ def extract_candidates(coarse: jnp.ndarray, params: QuadParams, ds: int):
         quads, valid = fit["quads"], fit["valid"]
         sizes, centroids = fit["sizes"], fit["centroids"]
         is_inner = jnp.zeros(quads.shape[0], dtype=bool)
-        inner_coarse = jnp.zeros_like(coarse)
+        inner_coarse = jnp.zeros(labels.shape, dtype=bool)
 
     return {
         "quads": quads,

@@ -17,6 +17,59 @@ import time
 import numpy as np
 
 
+def tpu_exactness_gate() -> None:
+    """Abort loudly if the Pallas kernel path diverges from the XLA
+    oracle path on a real-TPU compiled probe frame.
+
+    Interpret-mode tests can't catch Mosaic lowering bugs; this gate
+    compares the full compiled pipelines (fused frontend + coarse kernel
+    + refine/warp kernels vs the pure-XLA path) on a rendered scene
+    before any number is reported.
+    """
+    import numpy as np
+
+    from aruco3_tpu import ARDictionary, Detector, DetectorConfig
+    from aruco3_tpu.render import render_marker
+
+    d = ARDictionary.new_from_named_dict("ARUCO_DEFAULT")
+    corners = np.array([[60, 40], [250, 50], [240, 210], [50, 200]], float)
+    img = render_marker(d, 23, (320, 240), corners, noise_sigma=2.0)
+    got = Detector(DetectorConfig(use_pallas="always"), d).detect(img)
+    ref = Detector(DetectorConfig(use_pallas="never"), d).detect(img)
+    gm = {m.id: m.corners for m in got.markers}
+    rm = {m.id: m.corners for m in ref.markers}
+    if set(gm) != set(rm) or 23 not in gm:
+        print(
+            json.dumps(
+                {
+                    "error": "TPU exactness gate FAILED",
+                    "pallas_ids": sorted(gm),
+                    "xla_ids": sorted(rm),
+                    "pallas_stats": got.stats,
+                    "xla_stats": ref.stats,
+                }
+            )
+        )
+        sys.exit(1)
+    for mid in gm:
+        a = np.asarray(gm[mid], dtype=np.float64)
+        b = np.asarray(rm[mid], dtype=np.float64)
+        err = min(
+            np.abs(np.roll(a, r, axis=0) - b).max() for r in range(4)
+        )
+        if err > 2.0:
+            print(
+                json.dumps(
+                    {
+                        "error": "TPU exactness gate FAILED (corners)",
+                        "id": mid,
+                        "max_px": float(err),
+                    }
+                )
+            )
+            sys.exit(1)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -26,6 +79,8 @@ def main() -> None:
     from aruco3_tpu import segment
     from aruco3_tpu.detector import detect_batch_arrays
     from aruco3_tpu.render import random_marker_scene
+
+    tpu_exactness_gate()
 
     h, w = 1080, 1920
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128

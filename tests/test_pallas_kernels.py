@@ -74,6 +74,49 @@ def test_fused_frontend_marker_image(rng):
     np.testing.assert_array_equal(np.asarray(coarse), np.asarray(cref))
 
 
+def test_coarse_labels_matches_xla(rng):
+    """The fused coarse kernel must reproduce the XLA flood/fill/CCL label
+    planes bit-exactly (outer and inner pass)."""
+    import jax.numpy as jnp
+
+    from aruco3_tpu.ops.coarse_pallas import coarse_labels
+
+    p = segment.QuadParams()
+
+    def xla_labels(c):
+        bg = segment.flood_from_border(c, p.bg_rounds)
+        m1 = c & ~bg
+        outside = segment.flood_from_border(~m1, p.fill_rounds)
+        filled1 = m1 | (~m1 & ~outside)
+        l1 = segment.label_components(filled1, p.ccl_rounds)
+        lvl1 = segment.flood(m1, segment._dilate3(outside), p.fill_rounds)
+        m2 = m1 & ~lvl1
+        filled2 = segment.fill_holes(m2, p.fill_rounds)
+        l2 = segment.label_components(filled2, p.ccl_rounds)
+        return l1, l2
+
+    cases = []
+    # Random blobs (open-ish fields), two grid shapes.
+    for shape, density in [((108, 192), 0.3), ((60, 120), 0.5)]:
+        cases.append(rng.random((2,) + shape) < density)
+    # A marker-on-dark-background style scene: ring inside a halo.
+    m = np.zeros((1, 108, 192), bool)
+    m[0, 20:80, 30:110] = True   # halo block
+    m[0, 28:72, 38:102] = False  # quiet zone
+    m[0, 36:64, 46:94] = True    # marker ring
+    m[0, 44:56, 54:86] = False   # interior
+    cases.append(m)
+
+    for c in cases:
+        c = jnp.asarray(c)
+        ref1, ref2 = jax.vmap(xla_labels)(c)
+        got1, got2 = coarse_labels(
+            c, p.bg_rounds, p.fill_rounds, p.ccl_rounds, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got1), np.asarray(ref1))
+        np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref2))
+
+
 def test_refine_pallas_matches_xla(rng):
     from aruco3_tpu.ops.refine_pallas import refine_corners_batch
 
@@ -103,6 +146,41 @@ def test_refine_pallas_matches_xla(rng):
         packed, quads, cents, is_inner, ds, wn, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_warp_dma_matches_mxu(rng):
+    """The batched DMA warp must match the XLA MXU warp to bf16 rounding
+    (same level selection, same bilinear weights, black outside)."""
+    b, h, w, K, S = 2, 240, 320, 5, 49
+    grey = jnp.asarray(rng.integers(0, 256, size=(b, h, w), dtype=np.uint8))
+    # Quads safely inside the frame and within their warp windows.
+    c = rng.uniform(80, 220, size=(b, K, 1, 2))
+    half = rng.uniform(15, 60, size=(b, K, 1, 1))
+    base = np.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], float)
+    quads = jnp.asarray((c + half * base).astype(np.float32))
+    levels = max(1, int(math.ceil(math.log2(max(h, w) / 60.0))) + 1)
+    H, _ = rectify.homography_square_to_quad(quads, S)
+
+    ref = np.stack(
+        [
+            np.asarray(
+                rectify.warp_patches_mxu(
+                    rectify.build_pyramid(grey[i], levels), H[i], quads[i], S
+                )
+            )
+            for i in range(b)
+        ]
+    )
+    canvas, offsets, shapes = rectify.build_packed_pyramid(grey, levels)
+    got = np.asarray(
+        rectify.warp_patches_dma(
+            canvas, offsets, shapes, H, quads, S, interpret=True
+        )
+    )
+    # The DMA path's pyramid accumulates bf16 rounding per level (~0.25
+    # grey each) where the reference pyramid is f32; both are far below
+    # the Otsu contrast margin.
+    assert np.abs(got - ref).max() < 2.5
 
 
 def test_warp_pallas_matches_mxu(rng):
