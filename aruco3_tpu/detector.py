@@ -234,7 +234,7 @@ def detect_batch_arrays(
         from .ops.frontend_pallas import fused_threshold_open_pool
 
         if pallas_refine:
-            black, coarse, packed = fused_threshold_open_pool(
+            coarse, packed = fused_threshold_open_pool(
                 grey,
                 cfg.threshold_window,
                 params.open_radius,

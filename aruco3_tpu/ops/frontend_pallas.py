@@ -161,7 +161,8 @@ def fused_threshold_open_pool(
 
     def kernel(src_hbm, *refs):
         if emit_packed:
-            black_ref, rowpool_ref, packed_ref, scratch, sem = refs
+            rowpool_ref, packed_ref, scratch, sem = refs
+            black_ref = None
         else:
             black_ref, rowpool_ref, scratch, sem = refs
             packed_ref = None
@@ -216,10 +217,14 @@ def fused_threshold_open_pool(
         sums = _sliding_sum_rows(colsum, 2 * window + 1, nrows, off)
 
         # --- counts (closed form, position-dependent at borders) ---
+        # Built from (nrows, 1) x (1, twb) factors: the clip chains run on
+        # thin vectors and only the outer product touches a full plane.
         row0 = i * th - r2  # absolute image row of sums[0]
         col0 = c * tw - halo_c  # absolute image col of lane 0
-        rows_abs = row0 + jax.lax.broadcasted_iota(jnp.int32, (nrows, twb), 0)
-        cols_abs = col0 + jax.lax.broadcasted_iota(jnp.int32, (nrows, twb), 1)
+        rows_abs = row0 + jax.lax.broadcasted_iota(
+            jnp.int32, (nrows, 1), 0
+        )
+        cols_abs = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, twb), 1)
         crow = (
             jnp.clip(rows_abs + window, 0, h - 1)
             - jnp.clip(rows_abs - window, 0, h - 1)
@@ -231,7 +236,8 @@ def fused_threshold_open_pool(
             + 1
         )
         inside = (
-            (rows_abs >= 0) & (rows_abs < h) & (cols_abs >= 0) & (cols_abs < w)
+            ((rows_abs >= 0) & (rows_abs < h))
+            & ((cols_abs >= 0) & (cols_abs < w))
         )
 
         gmid = g[halo - r2 : halo - r2 + nrows]
@@ -269,13 +275,15 @@ def fused_threshold_open_pool(
             near = None
         central = opened_mid  # (th, twb)
         lane0 = halo_c
-        black_ref[0] = central[:, lane0 : lane0 + tw].astype(jnp.uint8)
-
         if packed_ref is not None:
+            # The batched detector never reads the full-res black mask
+            # (the packed plane replaces it) — skip its cast+write.
             gm = gmid[r2:-r2] if r2 else gmid
             packed = gm | (near << 8)
             packed = packed * inside_i[r2:-r2]
             packed_ref[0] = packed[:, lane0 : lane0 + tw]
+        else:
+            black_ref[0] = central[:, lane0 : lane0 + tw].astype(jnp.uint8)
 
         # --- row pooling (sublane reshape-sum); column pooling is a tiny
         # XLA op outside the kernel.
@@ -286,29 +294,26 @@ def fused_threshold_open_pool(
         )
         rowpool_ref[0] = rowpool.astype(jnp.uint8)
 
-    out_specs = [
-        pl.BlockSpec(
-            (1, th, tw), lambda bi, i, c: (bi, i, c), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
-            (1, th // ds, tw),
-            lambda bi, i, c: (bi, i, c),
-            memory_space=pltpu.VMEM,
-        ),
-    ]
-    out_shapes = [
-        jax.ShapeDtypeStruct((b, hp, wp), jnp.uint8),
-        jax.ShapeDtypeStruct((b, hp // ds, wp), jnp.uint8),
-    ]
+    tile_spec = pl.BlockSpec(
+        (1, th, tw), lambda bi, i, c: (bi, i, c), memory_space=pltpu.VMEM
+    )
+    pool_spec = pl.BlockSpec(
+        (1, th // ds, tw),
+        lambda bi, i, c: (bi, i, c),
+        memory_space=pltpu.VMEM,
+    )
     if emit_packed:
-        out_specs.append(
-            pl.BlockSpec(
-                (1, th, tw),
-                lambda bi, i, c: (bi, i, c),
-                memory_space=pltpu.VMEM,
-            )
-        )
-        out_shapes.append(jax.ShapeDtypeStruct((b, hp, wp), jnp.int32))
+        out_specs = [pool_spec, tile_spec]
+        out_shapes = [
+            jax.ShapeDtypeStruct((b, hp // ds, wp), jnp.uint8),
+            jax.ShapeDtypeStruct((b, hp, wp), jnp.int32),
+        ]
+    else:
+        out_specs = [tile_spec, pool_spec]
+        out_shapes = [
+            jax.ShapeDtypeStruct((b, hp, wp), jnp.uint8),
+            jax.ShapeDtypeStruct((b, hp // ds, wp), jnp.uint8),
+        ]
 
     outs = pl.pallas_call(
         kernel,
@@ -323,17 +328,17 @@ def fused_threshold_open_pool(
         interpret=interpret,
     )(src)
 
-    black_pad, rowpool_pad = outs[0], outs[1]
-    black = black_pad[:, :h, :w] != 0
+    rowpool_pad = outs[0] if emit_packed else outs[1]
     # Column pooling of the per-row counts (tiny, stays in XLA).
     rp = rowpool_pad[:, :hc, : wc * ds].astype(jnp.int32)
     pooled = rp.reshape(b, hc, wc, ds).sum(axis=-1)
     coarse = pooled * 2 >= max(ds, 2)
     if emit_packed:
-        packed = outs[2]
+        packed = outs[1]
         if squeeze:
-            return black[0], coarse[0], packed[0]
-        return black, coarse, packed
+            return coarse[0], packed[0]
+        return coarse, packed
+    black = outs[0][:, :h, :w] != 0
     if squeeze:
         return black[0], coarse[0]
     return black, coarse

@@ -40,12 +40,13 @@ def test_fused_frontend_packed_plane(shape, ds, rng):
     The wide case exercises the column-tiled (4K-class) path."""
     g = rng.integers(0, 256, size=shape, dtype=np.uint8)
     h, w = shape[1], shape[2]
-    black, coarse, packed = fused_threshold_open_pool(
+    coarse, packed = fused_threshold_open_pool(
         jnp.asarray(g), 7, 2, ds, interpret=True, emit_packed=True
     )
     bref = jax.vmap(
         lambda x: segment.open_mask(~frontend.adaptive_threshold(x, 7), 2)
     )(jnp.asarray(g))
+    cref = jax.vmap(lambda x: segment.pool_black(x, ds))(bref)
     zero_inner = jnp.zeros(
         (shape[0], -(-h // ds), -(-w // ds)), dtype=bool
     )
@@ -54,7 +55,7 @@ def test_fused_frontend_packed_plane(shape, ds, rng):
     )(jnp.asarray(g), bref, zero_inner)
     got = np.asarray(packed)
     np.testing.assert_array_equal(got[:, :h, :w], np.asarray(pref))
-    np.testing.assert_array_equal(np.asarray(black), np.asarray(bref))
+    np.testing.assert_array_equal(np.asarray(coarse), np.asarray(cref))
     assert (got[:, h:, :] == 0).all()
     assert (got[:, :, w:] == 0).all()
 

@@ -34,7 +34,7 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
     def fn(images):
         acc = []
         grey = frontend.rgb_to_luma_u8(images)
-        black, coarse, packed = fused_threshold_open_pool(
+        coarse, packed = fused_threshold_open_pool(
             grey, cfg.threshold_window, params.open_radius, ds,
             emit_packed=True)
         acc.append(jnp.sum(coarse.astype(jnp.int32)))
