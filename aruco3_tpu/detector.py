@@ -272,22 +272,11 @@ def detect_batch_arrays(
         cand = jax.vmap(
             lambda a, c: segment.candidates_from_labels(a, c, params, ds)
         )(labels1, labels2)
-        # Bit 9 (inner footprint) joins the frontend's bits 0-8 in one
-        # fused pass: repeat+pad+shift+or over the padded plane.
+        # The inner footprint goes to the refinement kernel at coarse
+        # resolution (it upsamples per window in VMEM) — merging a
+        # full-res bit plane in XLA costs a read-modify-write of the
+        # whole packed plane.
         h, w = grey.shape[1], grey.shape[2]
-        if params.max_inner_candidates > 0:
-            ic = cand["inner_coarse"]
-            up = jnp.repeat(jnp.repeat(ic, ds, axis=1), ds, axis=2)
-            up = up[:, : min(up.shape[1], h), : min(up.shape[2], w)]
-            up = jnp.pad(
-                up,
-                (
-                    (0, 0),
-                    (0, packed.shape[1] - up.shape[1]),
-                    (0, packed.shape[2] - up.shape[2]),
-                ),
-            )
-            packed = packed | (up.astype(jnp.int32) << 9)
         wn = segment.refine_window_size(params, ds)
         quads = refine_corners_batch(
             packed,
@@ -296,6 +285,7 @@ def detect_batch_arrays(
             cand["is_inner"],
             ds,
             wn,
+            inner_coarse=cand["inner_coarse"],
             image_hw=(h, w),
             valid=cand["valid"],
         )

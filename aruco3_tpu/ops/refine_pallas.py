@@ -31,19 +31,21 @@ _G = 8  # windows per grid step (DMA pipeline width)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("wn", "clamp_r", "interpret")
+    jax.jit, static_argnames=("wn", "clamp_r", "ds", "interpret")
 )
 def refine_eval(
     packed: jnp.ndarray,  # (B, Hp, Wp) int32, Hp % 8 == 0, Wp % 128 == 0
+    inner_plane: jnp.ndarray,  # (B, Hcp, Wcp) int32 coarse inner footprint
     bidx: jnp.ndarray,  # (N,) int32 frame index per window
     tly: jnp.ndarray,  # (N,) int32 window top (in-bounds for wn)
     tlx: jnp.ndarray,  # (N,) int32 window left
     dirs: jnp.ndarray,  # (N, 2) float32 outward corner direction
     corners: jnp.ndarray,  # (N, 2) float32 coarse corner (x, y)
-    inner: jnp.ndarray,  # (N,) bool — use bit 9 (inner footprint) as ink
+    inner: jnp.ndarray,  # (N,) bool — restrict ink to the inner footprint
     valid: jnp.ndarray,  # (N,) bool — invalid windows skip their DMA
     wn: int,
     clamp_r: int,
+    ds: int,
     interpret: bool = False,
 ):
     """Refined corners for N windows.
@@ -52,11 +54,18 @@ def refine_eval(
     are garbage — mask with ``valid`` downstream.  ``packed`` must be
     padded so [align8(tly), +SH) x [align128(tlx), +SW) stays in bounds,
     with pad pixels carrying zero mask bits.
+
+    Inner-lane windows additionally AND their ink with the coarse inner
+    footprint, upsampled in-kernel from the per-frame ``inner_plane``
+    block via separable one-hot matmuls — merging a full-resolution bit
+    plane in XLA costs a ~10 ms read-modify-write of the packed plane.
+    N must be arranged so each group of _G windows shares one frame.
     """
     n = tly.shape[0]
     npad = _round_up(max(n, _G), _G)
     sh = _round_up(wn + 7, 8)
     sw = _round_up(wn + 127, 128)
+    hcp, wcp = inner_plane.shape[1], inner_plane.shape[2]
 
     by = (tly // 8) * 8
     bx = (tlx // 128) * 128
@@ -81,8 +90,8 @@ def refine_eval(
     grid = (npad // _G,)
 
     def kernel(
-        bidx_ref, by_ref, bx_ref, valid_ref, params_ref, packed_ref,
-        out_ref, scratch, sems,
+        bidx_ref, by_ref, bx_ref, valid_ref, params_ref, inner_ref,
+        packed_ref, out_ref, scratch, sems,
     ):
         i = pl.program_id(0)
         nsteps = pl.num_programs(0)
@@ -123,6 +132,7 @@ def refine_eval(
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (sh, sw), 1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         inv_area = 1.0 / float(wn * wn)
+        inner_bf = inner_ref[0].astype(jnp.bfloat16)  # (hcp, wcp)
 
         for g in range(_G):
 
@@ -149,7 +159,27 @@ def refine_eval(
                 & (cols < tx + wn)
             )
             near8 = (win >> 8) & 1
-            up9 = (win >> 9) & 1
+            # Inner lanes: upsample the coarse footprint over this window
+            # with two one-hot contractions (row-cells, col-cells).
+            rr = (byv + jax.lax.broadcasted_iota(jnp.int32, (sh, 1), 0))
+            cellr = rr // ds
+            rsel = (
+                cellr
+                == jax.lax.broadcasted_iota(jnp.int32, (1, hcp), 1)
+            ).astype(jnp.bfloat16)  # (sh, hcp)
+            cc = bxv + jax.lax.broadcasted_iota(jnp.int32, (1, sw), 1)
+            cellc = cc // ds  # (1, sw)
+            csel = (
+                jax.lax.broadcasted_iota(jnp.int32, (wcp, sw), 0) == cellc
+            ).astype(jnp.bfloat16)  # (wcp, sw)
+            a = jnp.dot(
+                rsel, inner_bf, preferred_element_type=jnp.float32
+            )  # (sh, wcp)
+            up = jnp.dot(
+                a.astype(jnp.bfloat16), csel,
+                preferred_element_type=jnp.float32,
+            )  # (sh, sw)
+            up9 = (up > 0.5).astype(jnp.int32)
             near = jnp.where(is_inner, near8 & up9, near8) == 1
             g8 = (win & 255).astype(jnp.float32)
             mean = jnp.sum(jnp.where(sel, g8, 0.0)) * inv_area
@@ -192,6 +222,11 @@ def refine_eval(
                     lambda i, *_refs: (i, 0),
                     memory_space=pltpu.VMEM,
                 ),
+                pl.BlockSpec(
+                    (1, hcp, wcp),
+                    lambda i, bidx_ref, *_refs: (bidx_ref[i * _G], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
@@ -204,7 +239,7 @@ def refine_eval(
         ),
         out_shape=jax.ShapeDtypeStruct((npad, 128), jnp.float32),
         interpret=interpret,
-    )(bidx_p, by_p, bx_p, valid_p, params, packed)
+    )(bidx_p, by_p, bx_p, valid_p, params, inner_plane, packed)
 
     return out[:n, 0], out[:n, 1], out[:n, 2] > 0.5
 
@@ -216,6 +251,7 @@ def refine_corners_batch(
     is_inner: jnp.ndarray,  # (B, K) bool
     ds: int,
     wn: int,
+    inner_coarse: jnp.ndarray | None = None,  # (B, Hc, Wc) bool footprint
     image_hw: tuple[int, int] | None = None,
     valid: jnp.ndarray | None = None,  # (B, K) bool lane validity
     interpret: bool = False,
@@ -253,12 +289,24 @@ def refine_corners_batch(
         jnp.round(quads[..., 1]).astype(jnp.int32) - wn // 2, 0, max(h - wn, 0)
     )
     nw = b * k * 4
+    assert (k * 4) % _G == 0, "groups must not span frames"
     bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k * 4)
     if valid is None:
         valid = jnp.ones((b, k), dtype=bool)
+    if inner_coarse is None:
+        hc = -(-h // ds)
+        wc = -(-w // ds)
+        inner_coarse = jnp.zeros((b, hc, wc), dtype=bool)
+    hcp = _round_up(inner_coarse.shape[1], 8)
+    wcp = _round_up(inner_coarse.shape[2], 128)
+    iplane = jnp.zeros((b, hcp, wcp), jnp.int32)
+    iplane = jax.lax.dynamic_update_slice(
+        iplane, inner_coarse.astype(jnp.int32), (0, 0, 0)
+    )
     valid4 = jnp.broadcast_to(valid[:, :, None], (b, k, 4))
     x, y, has = refine_eval(
         pad,
+        iplane,
         bidx,
         tly.reshape(nw),
         tlx.reshape(nw),
@@ -268,6 +316,7 @@ def refine_corners_batch(
         valid4.reshape(nw),
         wn,
         clamp_r,
+        ds,
         interpret=interpret,
     )
     refined = jnp.stack([x, y], axis=-1).reshape(b, k, 4, 2)

@@ -140,11 +140,21 @@ def test_refine_pallas_matches_xla(rng):
         )
     )(black, quads, cents, grey, inner_coarse, is_inner)
 
+    # The batched kernel takes the footprint at coarse resolution and
+    # upsamples in VMEM; the packed plane carries bits 0-8 only.
+    zero_ic = jnp.zeros_like(inner_coarse)
     packed = jax.vmap(
         lambda g, bl, ic: segment.build_packed_plane(g, bl, ic, ds)
-    )(grey, black, inner_coarse)
+    )(grey, black, zero_ic)
     got = refine_corners_batch(
-        packed, quads, cents, is_inner, ds, wn, interpret=True
+        packed,
+        quads,
+        cents,
+        is_inner,
+        ds,
+        wn,
+        inner_coarse=inner_coarse,
+        interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 

@@ -7,27 +7,37 @@ detector.detect_batch_arrays' Pallas-refine path exactly.
 
 Usage: python tools/profile_stages2.py [batch] [stages...]
 """
-import os, sys, time
+import os
+import sys
+import time
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
+
 from profile_stages import build_frames
 
 STAGES = [
-    "luma+frontend",      # 0
-    "extract_candidates", # 1
-    "bit9+refine",        # 2
-    "finalize",           # 3
-    "homography",         # 4
-    "canvas",             # 5
-    "warp",               # 6
-    "decode+match",       # 7
-    "pose",               # 8
+    "luma+frontend",  # 0
+    "coarse_kernel",  # 1
+    "fit+merge",      # 2
+    "bit9",           # 3
+    "refine",         # 4
+    "finalize",       # 5
+    "homography",     # 6
+    "canvas",         # 7
+    "warp",           # 8
+    "decode+match",   # 9
+    "pose",           # 10
 ]
 
+
 def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
-    import jax, jax.numpy as jnp
+    import jax
+    import jax.numpy as jnp
+
     from aruco3_tpu import frontend, pose as pose_mod, rectify, segment
     from aruco3_tpu.detector import _num_levels
+    from aruco3_tpu.ops.coarse_pallas import coarse_labels
     from aruco3_tpu.ops.frontend_pallas import fused_threshold_open_pool
     from aruco3_tpu.ops.refine_pallas import refine_corners_batch
 
@@ -36,62 +46,88 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
         grey = frontend.rgb_to_luma_u8(images)
         coarse, packed = fused_threshold_open_pool(
             grey, cfg.threshold_window, params.open_radius, ds,
-            emit_packed=True)
+            emit_packed=True,
+        )
         acc.append(jnp.sum(coarse.astype(jnp.int32)))
         acc.append(jnp.sum(packed[:, ::97, ::97]))
         if upto >= 1:
-            cand = jax.vmap(lambda c: segment.extract_candidates(c, params, ds))(coarse)
+            labels1, labels2 = coarse_labels(
+                coarse, params.bg_rounds, params.fill_rounds,
+                params.ccl_rounds, inner=params.max_inner_candidates > 0,
+            )
+            acc.append(jnp.sum(labels1[:, ::7, ::7]))
+            acc.append(jnp.sum(labels2[:, ::7, ::7]))
+        if upto >= 2:
+            cand = jax.vmap(
+                lambda a, c: segment.candidates_from_labels(a, c, params, ds)
+            )(labels1, labels2)
             acc.append(jnp.sum(cand["quads"]))
             acc.append(jnp.sum(cand["valid"].astype(jnp.int32)))
-        if upto >= 2:
-            ic = cand["inner_coarse"]
-            up = jnp.repeat(jnp.repeat(ic, ds, axis=1), ds, axis=2)
-            up = up[:, : min(up.shape[1], h), : min(up.shape[2], w)]
-            up = jnp.pad(up, ((0,0),(0, packed.shape[1]-up.shape[1]),(0, packed.shape[2]-up.shape[2])))
-            packed2 = packed | (up.astype(jnp.int32) << 9)
-            wn = segment.refine_window_size(params, ds)
-            quads = refine_corners_batch(packed2, cand["quads"], cand["centroids"],
-                cand["is_inner"], ds, wn, image_hw=(h, w), valid=cand["valid"])
-            acc.append(jnp.sum(quads))
-        if upto >= 3:
-            def gate(q, v, sz, ov):
-                return segment.finalize_quads(q, v, sz, ov, params, min_edge, min_sep)
-            quads, valid, stats = jax.vmap(gate)(quads, cand["valid"], cand["sizes"], cand["overflow"])
-            acc.append(jnp.sum(valid.astype(jnp.int32)))
         if upto >= 4:
+            wn = segment.refine_window_size(params, ds)
+            quads = refine_corners_batch(
+                packed, cand["quads"], cand["centroids"], cand["is_inner"],
+                ds, wn, inner_coarse=cand["inner_coarse"], image_hw=(h, w),
+                valid=cand["valid"],
+            )
+            acc.append(jnp.sum(quads))
+        if upto >= 5:
+            def gate(q, v, sz, ov):
+                return segment.finalize_quads(
+                    q, v, sz, ov, params, min_edge, min_sep
+                )
+
+            quads, valid, stats = jax.vmap(gate)(
+                quads, cand["valid"], cand["sizes"], cand["overflow"]
+            )
+            acc.append(jnp.sum(valid.astype(jnp.int32)))
+        if upto >= 6:
             s = cfg.homography_sample_size
             H, h_valid = rectify.homography_square_to_quad(quads, s)
             acc.append(jnp.sum(H))
-        if upto >= 5:
-            canvas, offsets, shapes = rectify.build_packed_pyramid(grey, _num_levels(h, w))
-            acc.append(jnp.sum(canvas[:, ::311, ::311].astype(jnp.float32)))
-        if upto >= 6:
-            patches = rectify.warp_patches_dma(canvas, offsets, shapes, H, quads, s,
-                valid=valid & h_valid)
-            acc.append(jnp.sum(patches))
         if upto >= 7:
-            def match(p, q, v, hv):
+            canvas, offsets, shapes = rectify.build_packed_pyramid(
+                grey, _num_levels(h, w)
+            )
+            acc.append(jnp.sum(canvas[:, ::311, ::311].astype(jnp.float32)))
+        if upto >= 8:
+            patches = rectify.warp_patches_dma(
+                canvas, offsets, shapes, H, quads, s, valid=valid & h_valid
+            )
+            acc.append(jnp.sum(patches))
+        if upto >= 9:
+            def match(p):
                 mark_size = dictionary.get_mark_size()
                 bits, border_valid = rectify.decode_patches(p, mark_size)
                 ids_r, dists_r = dictionary.find_nearest_bits(bits)
                 rot = jnp.argmin(dists_r, axis=-1).astype(jnp.int32)
                 return jnp.sum(ids_r) + jnp.sum(rot), rot
-            r = jax.vmap(match)(patches, quads, valid, h_valid)
+
+            r = jax.vmap(match)(patches)
             acc.append(jnp.sum(r[0]))
             rot = r[1]
-        if upto >= 8:
+        if upto >= 10:
             base = jnp.arange(4, dtype=jnp.int32)[None, None, :]
             perm = (base + rot[:, :, None]) % 4
             corners_rot = jnp.take_along_axis(quads, perm[..., None], axis=2)
-            norm = corners_rot / jnp.array([float(w), float(h)], dtype=jnp.float32)
-            rr, t, e = jax.vmap(lambda nn: pose_mod.solve_normalized_batch(nn, 40.0))(norm)
+            norm = corners_rot / jnp.array(
+                [float(w), float(h)], dtype=jnp.float32
+            )
+            rr, t, e = jax.vmap(
+                lambda nn: pose_mod.solve_normalized_batch(nn, 40.0)
+            )(norm)
             acc.append(jnp.sum(rr) + jnp.sum(t) + jnp.sum(e))
         return sum(x.astype(jnp.float32) for x in acc)
+
     return fn
 
+
 def main():
-    import jax, jax.numpy as jnp
+    import jax
+    import jax.numpy as jnp
+
     from aruco3_tpu import ARDictionary, DetectorConfig, segment
+
     h, w = 1080, 1920
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     which = [int(x) for x in sys.argv[2:]] or list(range(len(STAGES)))
@@ -101,13 +137,20 @@ def main():
     params = segment.QuadParams(
         max_candidates=cfg.max_candidates,
         max_inner_candidates=cfg.max_inner_candidates,
-        coarse_factor=ds, ccl_rounds=cfg.ccl_rounds, refine=cfg.refine_corners)
+        coarse_factor=ds,
+        ccl_rounds=cfg.ccl_rounds,
+        refine=cfg.refine_corners,
+    )
     min_edge = min(w, h) * cfg.min_side_length_factor
     min_sep = min(w, h) * cfg.min_corner_separation_factor
     frames = jnp.asarray(build_frames(h, w, batch, dictionary))
     prev = 0.0
     for i in which:
-        fn = jax.jit(make_prefix(i, dictionary, cfg, params, min_edge, min_sep, ds, h, w))
+        fn = jax.jit(
+            make_prefix(
+                i, dictionary, cfg, params, min_edge, min_sep, ds, h, w
+            )
+        )
         out = fn(frames)
         _ = float(out)
         t0 = time.perf_counter()
@@ -115,8 +158,13 @@ def main():
             out = fn(frames)
         _ = float(out)
         dt = (time.perf_counter() - t0) / 10 * 1000
-        print(f"stage {i} {STAGES[i]:>18s}: cum {dt:7.2f} ms  delta {dt-prev:7.2f} ms", flush=True)
+        print(
+            f"stage {i:2d} {STAGES[i]:>14s}: cum {dt:7.2f} ms  "
+            f"delta {dt - prev:7.2f} ms",
+            flush=True,
+        )
         prev = dt
+
 
 if __name__ == "__main__":
     main()
