@@ -197,7 +197,10 @@ def fused_threshold_open_pool(
 
         strip_dma(step, slot).wait()
 
-        g = scratch[slot].astype(jnp.int32)  # (tb, twb)
+        # f32 arithmetic throughout: every value here is an integer
+        # < 2^24 (box sums <= 255*(2w+1)^2), so f32 is exact — and the
+        # VPU is f32-native (int32 vector multiplies are emulated).
+        g = scratch[slot].astype(jnp.int32).astype(jnp.float32)
 
         def roll(a, shift, axis):
             n = a.shape[axis]
@@ -241,10 +244,14 @@ def fused_threshold_open_pool(
         )
 
         gmid = g[halo - r2 : halo - r2 + nrows]
-        white = gmid * (crow * ccol) >= sums
-        inside_i = inside.astype(jnp.int32)
-        # Masks as int32 0/1 (Mosaic can't rotate sub-32-bit vectors).
-        black = jnp.maximum(1 - white.astype(jnp.int32), 1 - inside_i)
+        area = crow.astype(jnp.float32) * ccol.astype(jnp.float32)
+        white = gmid * area >= sums
+        inside_i = inside.astype(jnp.float32)
+        # Masks as f32 0/1 (Mosaic can't rotate sub-32-bit vectors; f32
+        # min/max double as and/or).
+        black = jnp.maximum(
+            1.0 - white.astype(jnp.float32), 1.0 - inside_i
+        )
 
         # --- opening (erode^r then dilate^r), matching segment.open_mask
         # boundary semantics: erosion sees True outside the image, the
@@ -279,11 +286,14 @@ def fused_threshold_open_pool(
             # The batched detector never reads the full-res black mask
             # (the packed plane replaces it) — skip its cast+write.
             gm = gmid[r2:-r2] if r2 else gmid
-            packed = gm | (near << 8)
-            packed = packed * inside_i[r2:-r2]
-            packed_ref[0] = packed[:, lane0 : lane0 + tw]
+            packed = (gm + near * 256.0) * inside_i[r2:-r2]
+            packed_ref[0] = packed[:, lane0 : lane0 + tw].astype(jnp.int32)
         else:
-            black_ref[0] = central[:, lane0 : lane0 + tw].astype(jnp.uint8)
+            black_ref[0] = (
+                central[:, lane0 : lane0 + tw]
+                .astype(jnp.int32)
+                .astype(jnp.uint8)
+            )
 
         # --- row pooling (sublane reshape-sum); column pooling is a tiny
         # XLA op outside the kernel.
@@ -292,7 +302,7 @@ def fused_threshold_open_pool(
             .reshape(th // ds, ds, tw)
             .sum(axis=1)
         )
-        rowpool_ref[0] = rowpool.astype(jnp.uint8)
+        rowpool_ref[0] = rowpool.astype(jnp.int32).astype(jnp.uint8)
 
     tile_spec = pl.BlockSpec(
         (1, th, tw), lambda bi, i, c: (bi, i, c), memory_space=pltpu.VMEM
