@@ -52,7 +52,7 @@ class DetectorConfig:
     filter_high_bit_errors: bool = True
     # --- TPU pipeline capacity/behaviour knobs (not in the reference) ---
     max_candidates: int = 32
-    max_inner_candidates: int = 8  # hole-border pass lanes (0 disables)
+    max_inner_candidates: int = 12  # hole-border pass lanes (0 disables)
     coarse_factor: int | None = None  # None = auto from image size
     ccl_rounds: int = 4
     refine_corners: bool = True
@@ -267,6 +267,7 @@ def detect_batch_arrays(
             params.bg_rounds,
             params.fill_rounds,
             params.ccl_rounds,
+            inner_ccl_rounds=params.inner_ccl_rounds,
             inner=params.max_inner_candidates > 0,
         )
         cand = jax.vmap(

@@ -36,7 +36,8 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "bg_rounds", "fill_rounds", "ccl_rounds", "inner", "interpret"
+        "bg_rounds", "fill_rounds", "ccl_rounds", "inner_ccl_rounds",
+        "inner", "interpret",
     ),
 )
 def coarse_labels(
@@ -44,12 +45,14 @@ def coarse_labels(
     bg_rounds: int,
     fill_rounds: int,
     ccl_rounds: int,
+    inner_ccl_rounds: int = 12,
     inner: bool = True,
     interpret: bool = False,
 ):
     """-> (labels1, labels2) (B, Hc, Wc) int32 in Hc*Wc-cropped linear
-    index space (sentinel Hc*Wc), exactly as segment.label_components
-    would produce on filled1 / filled2."""
+    index space (sentinel Hc*Wc), exactly as segment.extract_candidates'
+    label planes: labels1 = CCL over the hole-filled black mask, labels2 =
+    4-connected CCL over the unfilled, background-stripped mask."""
     b, hc, wc = coarse.shape
     if wc > 256:
         raise NotImplementedError("coarse grids wider than 256 cells")
@@ -132,10 +135,17 @@ def coarse_labels(
             side = jnp.maximum(roll(x, 1), roll(x, -1))
             return jnp.maximum(jnp.maximum(up, dn), side)
 
-        def flood(medium, seed, rounds):
+        def neigh4_or(x):
+            side = jnp.maximum(roll(x, 1), roll(x, -1))
+            up = shift_rows(x, 1, 0)
+            dn = shift_rows(x, -1, 0)
+            return jnp.maximum(jnp.maximum(up, dn), side)
+
+        def flood(medium, seed, rounds, diag=True):
             reach = jnp.minimum(medium, seed)
+            norm = neigh8_or if diag else neigh4_or
             for _ in range(rounds):
-                r = jnp.maximum(reach, neigh8_or(reach))
+                r = jnp.maximum(reach, norm(reach))
                 r = jnp.minimum(r, medium)
                 v = jnp.where(r == 1, 0, 1)
                 v = seg_min_lanes(v, medium, jnp.int32(2))
@@ -155,6 +165,7 @@ def coarse_labels(
         )
 
         def label_ccl(mask, rounds):
+            # 4-connected (black components; see segment.label_components).
             idx = riota * cp + ciota
             lbl = jnp.where(mask == 1, idx, sent)
 
@@ -166,8 +177,8 @@ def coarse_labels(
                 h = jnp.where(
                     ciota == cp - 1, jnp.minimum(l, roll(l, 1)), h
                 )
-                up = shift_rows(h, 1, sent)
-                dn = shift_rows(h, -1, sent)
+                up = shift_rows(l, 1, sent)
+                dn = shift_rows(l, -1, sent)
                 m = jnp.minimum(jnp.minimum(h, up), dn)
                 return jnp.where(mask == 1, m, sent)
 
@@ -177,28 +188,24 @@ def coarse_labels(
                 lbl = seg_min_rows(lbl, mask, jnp.int32(sent))
             return lbl
 
-        # ---- pass 1: background removal + hole fill + CCL -------------
-        bg = flood(jnp.minimum(black, in_img), border, bg_rounds)
-        m1 = jnp.minimum(black, in_img) * (1 - bg)
+        # ---- pass 1: plain hole fill + CCL over ALL black --------------
+        # (border-connected black stays in: clipped markers keep their
+        # open ring; dark scenes yield one merged blob and pass 2 below
+        # recovers the markers — segment.extract_candidates semantics.)
+        m1 = jnp.minimum(black, in_img)
         not_m1 = (1 - m1) * in_img + (1 - in_img)  # pad counts as medium
-        outside = flood(not_m1, border, fill_rounds)
+        white_reach = flood(not_m1, border, fill_rounds)
         filled1 = jnp.minimum(
-            jnp.maximum(m1, (1 - outside) * not_m1), in_img
+            jnp.maximum(m1, (1 - white_reach) * not_m1), in_img
         )
         l1 = label_ccl(filled1, ccl_rounds)
         l1_ref[0] = l1
 
-        # ---- pass 2: black enclosed by other black --------------------
+        # ---- pass 2: unfilled 4-connected components minus background --
         if inner:
-            seed1 = jnp.maximum(outside, neigh8_or(outside))
-            lvl1 = flood(m1, seed1, fill_rounds)
-            m2 = m1 * (1 - lvl1)
-            not_m2 = (1 - m2) * in_img + (1 - in_img)
-            outside2 = flood(not_m2, border, fill_rounds)
-            filled2 = jnp.minimum(
-                jnp.maximum(m2, (1 - outside2) * not_m2), in_img
-            )
-            l2 = label_ccl(filled2, ccl_rounds)
+            bg = flood(m1, border, bg_rounds, diag=False)
+            m2 = m1 * (1 - bg)
+            l2 = label_ccl(m2, inner_ccl_rounds)
             l2_ref[0] = l2
         else:
             l2_ref[0] = jnp.full((rp, cp), sent, jnp.int32)

@@ -57,11 +57,14 @@ class QuadParams:
     refine_window: int = 0  # 0 = auto from coarse factor
     refine: bool = True
     # Inner (hole-border) pass: lanes reserved for black components that
-    # live *inside holes* of outer components — markers on dark backgrounds
-    # and nested markers (reference Suzuki-Abe traces hole borders too,
-    # aruco.rs:64).  0 disables the pass.
-    max_inner_candidates: int = 8
-    bg_rounds: int = 3  # border-connected-black flood rounds
+    # are not border-connected — markers on dark backgrounds and nested
+    # markers (reference Suzuki-Abe traces hole borders too, aruco.rs:64).
+    # 0 disables the pass.
+    max_inner_candidates: int = 12
+    bg_rounds: int = 6  # border-connected-black flood rounds
+    # Inner components are labelled UNFILLED (their enclosing region keeps
+    # them out of the hole fill), so ring shapes need more label rounds.
+    inner_ccl_rounds: int = 12
 
 
 def choose_coarse_factor(h: int, w: int, target: int = 192) -> int:
@@ -167,29 +170,36 @@ def _segmented_min_scan(l, mask, sentinel, axis):
 
 
 def flood(
-    medium: jnp.ndarray, seed: jnp.ndarray, rounds: int
+    medium: jnp.ndarray, seed: jnp.ndarray, rounds: int, diag: bool = True
 ) -> jnp.ndarray:
-    """Cells of ``medium`` 8-connected to ``seed & medium`` through it.
+    """Cells of ``medium`` connected to ``seed & medium`` through it.
 
-    Reachability is a boolean flood: transported along whole in-medium runs
-    per round via segmented scans, with a neighbour-OR step for diagonal
+    ``diag`` selects 8-connectivity (white/foreground, the reference's
+    imageproc convention for 255-pixels) vs 4-connectivity (black/hole
+    regions — the Suzuki-Abe dual; 8-connected black lets sparse noise
+    fields percolate into one component, which the reference's hole
+    borders do not).
+
+    Reachability is a boolean flood: transported along whole in-medium
+    runs per round via segmented scans, with a neighbour-OR step for
     corridors.  Large solid regions converge in 2-3 rounds regardless of
     shape orientation.
     """
     hc, wc = medium.shape
     reach = medium & seed
+    if diag:
+        offs = [(dy, dx) for dy in (0, 1, 2) for dx in (0, 1, 2)
+                if not (dy == 1 and dx == 1)]
+    else:
+        offs = [(0, 1), (2, 1), (1, 0), (1, 2)]
 
     # Encode reach as int (0 reached / 1 not) so the min-scan machinery
     # doubles as an or-flood: min over a run == "any reached in run".
     def body(_, reach):
         r = reach
-        # neighbour-OR (8-way) for diagonal hops
         pads = jnp.pad(r, 1, constant_values=False)
-        for dy in (0, 1, 2):
-            for dx in (0, 1, 2):
-                if dy == 1 and dx == 1:
-                    continue
-                r = r | pads[dy : dy + hc, dx : dx + wc]
+        for dy, dx in offs:
+            r = r | pads[dy : dy + hc, dx : dx + wc]
         r = r & medium
         # run transport along rows and columns
         v = jnp.where(r, 0, 1)
@@ -202,14 +212,16 @@ def flood(
     return jax.lax.fori_loop(0, rounds, body, reach)
 
 
-def flood_from_border(medium: jnp.ndarray, rounds: int) -> jnp.ndarray:
-    """Cells of ``medium`` 8-connected to the image border through it."""
+def flood_from_border(
+    medium: jnp.ndarray, rounds: int, diag: bool = True
+) -> jnp.ndarray:
+    """Cells of ``medium`` connected to the image border through it."""
     border = jnp.zeros_like(medium)
     border = border.at[0, :].set(True)
     border = border.at[-1, :].set(True)
     border = border.at[:, 0].set(True)
     border = border.at[:, -1].set(True)
-    return flood(medium, border, rounds)
+    return flood(medium, border, rounds, diag=diag)
 
 
 def fill_holes(black: jnp.ndarray, rounds: int) -> jnp.ndarray:
@@ -229,7 +241,12 @@ def fill_holes(black: jnp.ndarray, rounds: int) -> jnp.ndarray:
 
 
 def label_components(black: jnp.ndarray, rounds: int) -> jnp.ndarray:
-    """CCL by segmented min-scans + 8-neighbour min sweeps.
+    """CCL by segmented min-scans + 4-neighbour min sweeps.
+
+    Black components are 4-connected — the Suzuki-Abe dual of the
+    reference's 8-connected white foreground (imageproc find_contours):
+    diagonal-only black contacts do not merge components, so sparse noise
+    fields cannot percolate into the structures they touch.
 
     black: (Hc, Wc) bool — expected to be *hole-filled* (solid blobs, see
     ``fill_holes``).  Returns (Hc, Wc) int32 labels: each black pixel holds
@@ -251,11 +268,8 @@ def label_components(black: jnp.ndarray, rounds: int) -> jnp.ndarray:
     def neighbor_min(l):
         pads = jnp.pad(l, 1, constant_values=p)
         m = l
-        for dy in (0, 1, 2):
-            for dx in (0, 1, 2):
-                if dy == 1 and dx == 1:
-                    continue
-                m = jnp.minimum(m, pads[dy : dy + hc, dx : dx + wc])
+        for dy, dx in ((0, 1), (2, 1), (1, 0), (1, 2)):
+            m = jnp.minimum(m, pads[dy : dy + hc, dx : dx + wc])
         return jnp.where(black, m, sentinel)
 
     def body(_, l):
@@ -541,15 +555,23 @@ def discard_too_near(
 ) -> jnp.ndarray:
     """Suppress near-duplicate quads, keeping the larger perimeter.
 
-    Semantics of reference aruco.rs:187-232: two quads are duplicates when
-    the mean distance between index-aligned corners is below min_distance
-    (same rotation-sensitivity caveat as the reference, aruco.rs:189-190).
-    The parallel rule drops a quad iff some *larger* (or equal-but-earlier)
-    valid near-duplicate exists, which resolves chains in one pass instead
-    of the reference's order-dependent scan.
+    Semantics of reference aruco.rs:187-232 — two quads are duplicates
+    when the mean corner distance is below min_distance — except the
+    distance is the minimum over cyclic corner shifts: the reference
+    compares index-aligned corners only and TODOs the rotated case
+    (aruco.rs:189-190), but here the outer (filled) and inner (hole
+    border) passes can fit the same marker with different corner
+    orderings, and those duplicates must collapse.  The parallel rule
+    drops a quad iff some *larger* (or equal-but-earlier) valid
+    near-duplicate exists, which resolves chains in one pass instead of
+    the reference's order-dependent scan.
     """
-    diff = quads[:, None, :, :] - quads[None, :, :, :]  # (K, K, 4, 2)
-    mean_d = jnp.mean(jnp.linalg.norm(diff, axis=-1), axis=-1)  # (K, K)
+    mean_d = None
+    for r in range(4):
+        rolled = jnp.roll(quads, r, axis=-2)
+        diff = rolled[:, None, :, :] - quads[None, :, :, :]  # (K, K, 4, 2)
+        d = jnp.mean(jnp.linalg.norm(diff, axis=-1), axis=-1)  # (K, K)
+        mean_d = d if mean_d is None else jnp.minimum(mean_d, d)
     peri = perimeter(quads)
     k = quads.shape[0]
     ii = jnp.arange(k)
@@ -581,23 +603,26 @@ def extract_candidates(coarse: jnp.ndarray, params: QuadParams, ds: int):
     reference's candidate list is unbounded, aruco.rs:124-166 — capacity
     loss must be observable).
     """
-    bg = flood_from_border(coarse, params.bg_rounds)
-    m1 = coarse & ~bg
-    # Outside medium: everything reachable from the border without crossing
-    # m1 (background black counts as medium — it was removed from m1).
-    outside = flood_from_border(~m1, params.fill_rounds)
-    filled1 = m1 | (~m1 & ~outside)
+    # Outer pass: plain hole fill + CCL over ALL black.  Border-connected
+    # black stays in (markers clipped at the image edge keep their — open,
+    # unfilled — ring and are still fitted, like the reference's clipped
+    # contours); on a dark scene this pass yields one useless
+    # merged blob and the inner pass below recovers the markers.
+    filled1 = fill_holes(coarse, params.fill_rounds)
     labels = label_components(filled1, params.ccl_rounds)
 
     if params.max_inner_candidates > 0:
-        # Inner pass: m1 cells with no m1-path to the outside medium — a
-        # marker ring enclosed by another black structure (dark-background
-        # halo, dark plate) plus, harmlessly, code-cell blobs of ordinary
-        # markers (rejected downstream at decode).
-        lvl1 = flood(m1, _dilate3(outside), params.fill_rounds)
-        m2 = m1 & ~lvl1
-        filled2 = fill_holes(m2, params.fill_rounds)
-        labels2 = label_components(filled2, params.ccl_rounds)
+        # Inner pass: every 4-connected black component that is not
+        # border-connected, labelled WITHOUT hole filling — the direct
+        # analogue of the reference's per-component hole borders.  This
+        # recovers marker rings the outer pass merged away (dark
+        # backgrounds — flat or noisy — and nested markers), at the cost
+        # of harmless duplicate/code-blob lanes (suppressed by the
+        # near-duplicate gate and the decode gates).  Unfilled rings need
+        # more label rounds to converge than solid blobs.
+        bg = flood_from_border(coarse, params.bg_rounds, diag=False)
+        m2 = coarse & ~bg
+        labels2 = label_components(m2, params.inner_ccl_rounds)
     else:
         labels2 = jnp.full_like(labels, labels.size)
     return candidates_from_labels(labels, labels2, params, ds)

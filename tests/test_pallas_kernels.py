@@ -85,15 +85,11 @@ def test_coarse_labels_matches_xla(rng):
     p = segment.QuadParams()
 
     def xla_labels(c):
-        bg = segment.flood_from_border(c, p.bg_rounds)
-        m1 = c & ~bg
-        outside = segment.flood_from_border(~m1, p.fill_rounds)
-        filled1 = m1 | (~m1 & ~outside)
+        filled1 = segment.fill_holes(c, p.fill_rounds)
         l1 = segment.label_components(filled1, p.ccl_rounds)
-        lvl1 = segment.flood(m1, segment._dilate3(outside), p.fill_rounds)
-        m2 = m1 & ~lvl1
-        filled2 = segment.fill_holes(m2, p.fill_rounds)
-        l2 = segment.label_components(filled2, p.ccl_rounds)
+        bg = segment.flood_from_border(c, p.bg_rounds, diag=False)
+        m2 = c & ~bg
+        l2 = segment.label_components(m2, p.inner_ccl_rounds)
         return l1, l2
 
     cases = []
