@@ -39,9 +39,13 @@ class DetectorConfig:
     """Detection tunables; defaults match reference aruco.rs:32-43.
 
     The reference's contour_simplification_epsilon controls RDP polygon
-    simplification, which has no analogue in the data-parallel quad fitter;
-    it is kept for API parity and ignored.  TPU-specific capacity/precision
-    knobs live here too so a config fully determines the compiled program.
+    simplification (aruco.rs:133), i.e. how far a contour may deviate from
+    a 4-vertex polygon and still count as a quad.  The data-parallel
+    fitter's analogue of that gate is the containment test (is the
+    component well-covered by its fitted quad), so epsilon scales the
+    containment slack: larger epsilon accepts blobbier components, exactly
+    as a larger RDP epsilon would.  TPU-specific capacity/precision knobs
+    live here too so a config fully determines the compiled program.
     """
 
     threshold_window: int = 7
@@ -109,12 +113,20 @@ class Detector:
         cfg = self.config
         dictionary = self.dictionary
         ds = cfg.coarse_factor or segment.choose_coarse_factor(height, width)
+        # Map the reference's RDP epsilon onto the containment gate (see
+        # DetectorConfig docstring): ratio 1.0 at the reference default.
+        eps_scale = cfg.contour_simplification_epsilon / 0.05
+        base = segment.QuadParams()
         params = segment.QuadParams(
             max_candidates=cfg.max_candidates,
             max_inner_candidates=cfg.max_inner_candidates,
             coarse_factor=ds,
             ccl_rounds=cfg.ccl_rounds,
             refine=cfg.refine_corners,
+            containment_slack=base.containment_slack * eps_scale,
+            min_containment=min(
+                0.999, base.min_containment / max(eps_scale, 1e-6)
+            ),
         )
         min_edge = min(width, height) * cfg.min_side_length_factor
         min_sep = min(width, height) * cfg.min_corner_separation_factor
@@ -198,7 +210,7 @@ class Detector:
 # --------------------------------------------------------------------------
 # The jitted frame pipeline (pure function of arrays + static config)
 # --------------------------------------------------------------------------
-def _use_pallas(cfg: DetectorConfig, width: int = 0) -> bool:
+def _use_pallas(cfg: DetectorConfig) -> bool:
     """Pallas frontend on TPU-like backends; XLA path on CPU / when off.
 
     The frontend kernel column-tiles, so arbitrary widths (4K+) stay on
@@ -228,7 +240,7 @@ def detect_batch_arrays(
     """
     grey = frontend.rgb_to_luma_u8(images)  # (B, H, W)
 
-    use_pallas = _use_pallas(cfg, grey.shape[-1])
+    use_pallas = _use_pallas(cfg)
     pallas_refine = use_pallas and params.refine and ds > 1
     if use_pallas:
         from .ops.frontend_pallas import fused_threshold_open_pool
@@ -259,17 +271,25 @@ def detect_batch_arrays(
         # corner refinement runs as one natively-batched Pallas kernel
         # (per-window DMAs; vmapped dynamic_slice would lower to row
         # gathers — the dominant cost of the XLA path).
-        from .ops.coarse_pallas import coarse_labels
+        from .ops.coarse_pallas import coarse_fits_vmem, coarse_labels
         from .ops.refine_pallas import refine_corners_batch
 
-        labels1, labels2 = coarse_labels(
-            coarse,
-            params.bg_rounds,
-            params.fill_rounds,
-            params.ccl_rounds,
-            inner_ccl_rounds=params.inner_ccl_rounds,
-            inner=params.max_inner_candidates > 0,
-        )
+        if coarse_fits_vmem(coarse.shape[1], coarse.shape[2]):
+            labels1, labels2 = coarse_labels(
+                coarse,
+                params.bg_rounds,
+                params.fill_rounds,
+                params.ccl_rounds,
+                inner_ccl_rounds=params.inner_ccl_rounds,
+                inner=params.max_inner_candidates > 0,
+            )
+        else:
+            # Very large coarse grids (8K+ frames at small user-set
+            # coarse factors) exceed the kernel's VMEM budget; the XLA
+            # label path is identical bit-for-bit, just slower.
+            labels1, labels2 = jax.vmap(
+                lambda c: segment.label_planes(c, params)
+            )(coarse)
         cand = jax.vmap(
             lambda a, c: segment.candidates_from_labels(a, c, params, ds)
         )(labels1, labels2)

@@ -33,6 +33,19 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def coarse_fits_vmem(hc: int, wc: int) -> bool:
+    """True when the (hc, wc) coarse grid fits the kernel's VMEM budget.
+
+    The scan machinery keeps roughly a dozen (rp, cp) int32 planes live;
+    cap their footprint well under the ~16 MB of VMEM.  Grids beyond this
+    (8K+ frames at small coarse factors) route to the XLA label path
+    (segment.label_planes) instead of failing.
+    """
+    rp = max(_round_up(hc, 8), 8)
+    cp = max(256, _round_up(wc, 128))
+    return rp * cp * 4 * 12 <= 12 * 1024 * 1024
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -54,10 +67,13 @@ def coarse_labels(
     label planes: labels1 = CCL over the hole-filled black mask, labels2 =
     4-connected CCL over the unfilled, background-stripped mask."""
     b, hc, wc = coarse.shape
-    if wc > 256:
-        raise NotImplementedError("coarse grids wider than 256 cells")
+    if not coarse_fits_vmem(hc, wc):
+        raise ValueError(
+            "coarse grid exceeds the VMEM kernel budget; route to "
+            "segment.label_planes (detector does this automatically)"
+        )
     rp = max(_round_up(hc, 8), 8)
-    cp = 256
+    cp = max(256, _round_up(wc, 128))
     sent = rp * cp
 
     src = jnp.zeros((b, rp, cp), jnp.int32)
@@ -234,11 +250,11 @@ def coarse_labels(
     )(src)
 
     # Remap padded linear indices (row*cp + col) to cropped (row*wc + col);
-    # cp is 256 so the div/mod are shifts/masks.
+    # cp is a compile-time constant so the div/mod strength-reduce.
     def remap(l):
         l = l[:, :hc, :wc]
-        row = l >> 8
-        col = l & 255
+        row = l // cp
+        col = l % cp
         return jnp.where(l >= sent, hc * wc, row * wc + col)
 
     return remap(l1p), remap(l2p)

@@ -135,81 +135,87 @@ def refine_eval(
         inner_bf = inner_ref[0].astype(jnp.bfloat16)  # (hcp, wcp)
 
         for g in range(_G):
-
+            # Invalid windows skip compute as well as their DMA (their out
+            # rows are garbage, masked downstream): the per-window
+            # upsample contractions and reductions dominate this kernel
+            # and most candidate lanes are invalid in typical frames.
             @pl.when(valid_ref[i * _G + g] != 0)
             def _():
                 dma(i, slot, g).wait()
 
-            win = scratch[slot, g]  # (sh, sw) int32; stale if invalid
-            widx = i * _G + g
-            p = params_ref[g]
-            dirx, diry = p[0], p[1]
-            cx, cy = p[2], p[3]
-            is_inner = p[4] > 0.5
-            ty = p[5].astype(jnp.int32)
-            tx = p[6].astype(jnp.int32)
-            byv = by_ref[widx]
-            bxv = bx_ref[widx]
-            rows = rows_i + byv
-            cols = cols_i + bxv
-            sel = (
-                (rows >= ty)
-                & (rows < ty + wn)
-                & (cols >= tx)
-                & (cols < tx + wn)
-            )
-            near8 = (win >> 8) & 1
-            # Inner lanes: upsample the coarse footprint over this window
-            # with two one-hot contractions (row-cells, col-cells).
-            rr = (byv + jax.lax.broadcasted_iota(jnp.int32, (sh, 1), 0))
-            cellr = rr // ds
-            rsel = (
-                cellr
-                == jax.lax.broadcasted_iota(jnp.int32, (1, hcp), 1)
-            ).astype(jnp.bfloat16)  # (sh, hcp)
-            cc = bxv + jax.lax.broadcasted_iota(jnp.int32, (1, sw), 1)
-            cellc = cc // ds  # (1, sw)
-            csel = (
-                jax.lax.broadcasted_iota(jnp.int32, (wcp, sw), 0) == cellc
-            ).astype(jnp.bfloat16)  # (wcp, sw)
-            a = jnp.dot(
-                rsel, inner_bf, preferred_element_type=jnp.float32
-            )  # (sh, wcp)
-            up = jnp.dot(
-                a.astype(jnp.bfloat16), csel,
-                preferred_element_type=jnp.float32,
-            )  # (sh, sw)
-            up9 = (up > 0.5).astype(jnp.int32)
-            near = jnp.where(is_inner, near8 & up9, near8) == 1
-            g8 = (win & 255).astype(jnp.float32)
-            mean = jnp.sum(jnp.where(sel, g8, 0.0)) * inv_area
-            ink = (g8 < mean) & near
-            rf = rows.astype(jnp.float32)
-            cf = cols.astype(jnp.float32)
-            near_c = (jnp.abs(cf - cx) <= clamp_r) & (
-                jnp.abs(rf - cy) <= clamp_r
-            )
-            ok = ink & near_c & sel
-            score = jnp.where(ok, cf * dirx + rf * diry, -jnp.inf)
-            m = jnp.max(score)
-            has = m > -jnp.inf
-            # First maximum in window row-major order == min linear index
-            # among maxima (matches jnp.argmax in the XLA path).
-            lin = rows_i * sw + cols_i
-            cand = jnp.where(score == m, lin, jnp.int32(sh * sw))
-            li = jnp.min(cand)
-            bestx = (bxv + li % sw).astype(jnp.float32)
-            besty = (byv + li // sw).astype(jnp.float32)
-            row = jnp.where(
-                lane == 0,
-                bestx,
-                jnp.where(
-                    lane == 1,
-                    besty,
-                    jnp.where(lane == 2, has.astype(jnp.float32), 0.0),
-                ),
-            )
-            out_ref[g] = row[0]
+                win = scratch[slot, g]  # (sh, sw) int32
+                widx = i * _G + g
+                p = params_ref[g]
+                dirx, diry = p[0], p[1]
+                cx, cy = p[2], p[3]
+                is_inner = p[4] > 0.5
+                ty = p[5].astype(jnp.int32)
+                tx = p[6].astype(jnp.int32)
+                byv = by_ref[widx]
+                bxv = bx_ref[widx]
+                rows = rows_i + byv
+                cols = cols_i + bxv
+                sel = (
+                    (rows >= ty)
+                    & (rows < ty + wn)
+                    & (cols >= tx)
+                    & (cols < tx + wn)
+                )
+                near8 = (win >> 8) & 1
+                # Inner lanes: upsample the coarse footprint over this
+                # window with two one-hot contractions (row-, col-cells).
+                rr = byv + jax.lax.broadcasted_iota(jnp.int32, (sh, 1), 0)
+                cellr = rr // ds
+                rsel = (
+                    cellr
+                    == jax.lax.broadcasted_iota(jnp.int32, (1, hcp), 1)
+                ).astype(jnp.bfloat16)  # (sh, hcp)
+                cc = bxv + jax.lax.broadcasted_iota(jnp.int32, (1, sw), 1)
+                cellc = cc // ds  # (1, sw)
+                csel = (
+                    jax.lax.broadcasted_iota(jnp.int32, (wcp, sw), 0)
+                    == cellc
+                ).astype(jnp.bfloat16)  # (wcp, sw)
+                a = jnp.dot(
+                    rsel, inner_bf, preferred_element_type=jnp.float32
+                )  # (sh, wcp)
+                up = jnp.dot(
+                    a.astype(jnp.bfloat16), csel,
+                    preferred_element_type=jnp.float32,
+                )  # (sh, sw)
+                up9 = (up > 0.5).astype(jnp.int32)
+                near = jnp.where(is_inner, near8 & up9, near8) == 1
+                g8 = (win & 255).astype(jnp.float32)
+                mean = jnp.sum(jnp.where(sel, g8, 0.0)) * inv_area
+                ink = (g8 < mean) & near
+                rf = rows.astype(jnp.float32)
+                cf = cols.astype(jnp.float32)
+                near_c = (jnp.abs(cf - cx) <= clamp_r) & (
+                    jnp.abs(rf - cy) <= clamp_r
+                )
+                ok = ink & near_c & sel
+                score = jnp.where(ok, cf * dirx + rf * diry, -jnp.inf)
+                m = jnp.max(score)
+                has = m > -jnp.inf
+                # First maximum in window row-major order == min linear
+                # index among maxima (matches jnp.argmax in the XLA path).
+                lin = rows_i * sw + cols_i
+                cand = jnp.where(score == m, lin, jnp.int32(sh * sw))
+                li = jnp.min(cand)
+                bestx = (bxv + li % sw).astype(jnp.float32)
+                besty = (byv + li // sw).astype(jnp.float32)
+                row = jnp.where(
+                    lane == 0,
+                    bestx,
+                    jnp.where(
+                        lane == 1,
+                        besty,
+                        jnp.where(
+                            lane == 2, has.astype(jnp.float32), 0.0
+                        ),
+                    ),
+                )
+                out_ref[g] = row[0]
 
     out = pl.pallas_call(
         kernel,
@@ -288,9 +294,6 @@ def refine_corners_batch(
     tly = jnp.clip(
         jnp.round(quads[..., 1]).astype(jnp.int32) - wn // 2, 0, max(h - wn, 0)
     )
-    nw = b * k * 4
-    assert (k * 4) % _G == 0, "groups must not span frames"
-    bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k * 4)
     if valid is None:
         valid = jnp.ones((b, k), dtype=bool)
     if inner_coarse is None:
@@ -304,21 +307,43 @@ def refine_corners_batch(
         iplane, inner_coarse.astype(jnp.int32), (0, 0, 0)
     )
     valid4 = jnp.broadcast_to(valid[:, :, None], (b, k, 4))
+
+    # Each _G-window DMA group must stay within one frame (the kernel's
+    # inner-plane block is chosen per group), so pad each frame's window
+    # list to a multiple of _G with invalid (DMA-skipped) lanes.  Handles
+    # any max_candidates, odd ones included.
+    k4 = k * 4
+    k4p = _round_up(k4, _G)
+    extra = k4p - k4
+
+    def frame_pad(a, fill=0):
+        a = a.reshape((b, k4) + a.shape[1:])
+        if extra:
+            pad_width = [(0, 0), (0, extra)] + [(0, 0)] * (a.ndim - 2)
+            a = jnp.pad(a, pad_width, constant_values=fill)
+        return a.reshape((b * k4p,) + a.shape[2:])
+
+    bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k4p)
     x, y, has = refine_eval(
         pad,
         iplane,
         bidx,
-        tly.reshape(nw),
-        tlx.reshape(nw),
-        dirs.reshape(nw, 2),
-        quads.reshape(nw, 2),
-        jnp.broadcast_to(is_inner[:, :, None], (b, k, 4)).reshape(nw),
-        valid4.reshape(nw),
+        frame_pad(tly.reshape(b * k4)),
+        frame_pad(tlx.reshape(b * k4)),
+        frame_pad(dirs.reshape(b * k4, 2)),
+        frame_pad(quads.reshape(b * k4, 2)),
+        frame_pad(
+            jnp.broadcast_to(is_inner[:, :, None], (b, k, 4)).reshape(b * k4)
+        ),
+        frame_pad(valid4.reshape(b * k4)),
         wn,
         clamp_r,
         ds,
         interpret=interpret,
     )
+    x = x.reshape(b, k4p)[:, :k4]
+    y = y.reshape(b, k4p)[:, :k4]
+    has = has.reshape(b, k4p)[:, :k4]
     refined = jnp.stack([x, y], axis=-1).reshape(b, k, 4, 2)
     hasr = has.reshape(b, k, 4) & valid4  # invalid lanes carry garbage
     return jnp.where(hasr[..., None], refined, quads)

@@ -113,25 +113,29 @@ def warp_gather_eval(
         )
 
         for g in range(_G):
-
+            # Invalid windows skip compute too (their out rows are garbage,
+            # masked downstream): most candidate lanes are invalid in
+            # typical frames and the two contractions are the kernel's
+            # entire FLOP cost.
             @pl.when(valid_ref[i * _G + g] != 0)
             def _():
                 dma(i, slot, g).wait()
-
-            widx = i * _G + g
-            buf = scratch[slot, g]  # (_SH, _SW) bf16
-            win = jnp.where(
-                half_ref[widx] == 0, buf[:, :128], buf[:, 64:192]
-            )  # (_SH, 128)
-            # wxT[x, s] = weight of window column x for sample s.
-            wxt = jnp.maximum(
-                0.0, 1.0 - jnp.abs(ux_ref[g][None, :] - ic)
-            ).astype(jnp.bfloat16)  # (128, s2p)
-            t = jnp.dot(
-                win, wxt, preferred_element_type=jnp.float32
-            )  # (_SH, s2p)
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(uy_ref[g][None, :] - ir))
-            out_ref[g] = jnp.sum(wy * t, axis=0)
+                widx = i * _G + g
+                buf = scratch[slot, g]  # (_SH, _SW) bf16
+                win = jnp.where(
+                    half_ref[widx] == 0, buf[:, :128], buf[:, 64:192]
+                )  # (_SH, 128)
+                # wxT[x, s] = weight of window column x for sample s.
+                wxt = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(ux_ref[g][None, :] - ic)
+                ).astype(jnp.bfloat16)  # (128, s2p)
+                t = jnp.dot(
+                    win, wxt, preferred_element_type=jnp.float32
+                )  # (_SH, s2p)
+                wy = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(uy_ref[g][None, :] - ir)
+                )
+                out_ref[g] = jnp.sum(wy * t, axis=0)
 
     out = pl.pallas_call(
         kernel,

@@ -108,8 +108,10 @@ def build_pyramid(grey: jnp.ndarray, levels: int) -> list[jnp.ndarray]:
     img = grey.astype(jnp.float32)
     for _ in range(levels):
         h, w = img.shape
-        ph = max(h, _WARP_WIN) + (h % 2)
-        pw = max(w, _WARP_WIN) + (w % 2)
+        # Pad to even BEFORE clamping to the window: max(odd<64, 64)+1
+        # would yield an odd padded size and break the 2x2 reshape below.
+        ph = max(h + (h % 2), _WARP_WIN)
+        pw = max(w + (w % 2), _WARP_WIN)
         padded = jnp.pad(img, ((0, ph - h), (0, pw - w)))
         out.append(padded)
         img = (
@@ -314,8 +316,10 @@ def build_packed_pyramid(grey: jnp.ndarray, levels: int):
     shapes = []
     for _ in range(levels):
         hh, ww = img.shape[1], img.shape[2]
-        ph = max(hh, _WARP_WIN) + (hh % 2)
-        pw = max(ww, _WARP_WIN) + (ww % 2)
+        # Even-first padding (see build_pyramid): keeps ph/pw even for any
+        # level size, including odd sizes below the window (720p level 4).
+        ph = max(hh + (hh % 2), _WARP_WIN)
+        pw = max(ww + (ww % 2), _WARP_WIN)
         padded = jnp.pad(img, ((0, 0), (0, ph - hh), (0, pw - ww)))
         padded_levels.append(padded)
         shapes.append((ph, pw))
@@ -548,14 +552,20 @@ def otsu_level(patches: jnp.ndarray) -> jnp.ndarray:
     vals = jnp.clip(jnp.round(patches), 0, 255).astype(jnp.int32)
     vals = vals.reshape(k, -1)
     n = vals.shape[1]
-    bins = jnp.arange(256, dtype=jnp.int32)
-    hist = jnp.sum(
-        (vals[:, :, None] == bins[None, None, :]).astype(jnp.float32),
-        axis=1,
-    )  # (K, 256)
+    # Histogram via a hi/lo-nibble outer product on the MXU: hist[h, l] =
+    # #pixels with value h*16+l = <hi one-hot, lo one-hot> contracted over
+    # pixels.  Exact: one-hot entries are 0/1 (exact in bf16) and the f32
+    # accumulator sums <= S^2 ones.  The naive (K, S^2, 256) compare-
+    # reduce was the decode stage's dominant cost (~10 ms at batch 128).
+    nib = jnp.arange(16, dtype=jnp.int32)
+    hi = ((vals[:, :, None] >> 4) == nib).astype(jnp.bfloat16)  # (K, N, 16)
+    lo = ((vals[:, :, None] & 15) == nib).astype(jnp.bfloat16)
+    hist = jnp.einsum(
+        "knh,knl->khl", hi, lo, preferred_element_type=jnp.float32
+    ).reshape(k, 256)
 
     p = hist / float(n)
-    binsf = bins.astype(jnp.float32)
+    binsf = jnp.arange(256, dtype=jnp.float32)
     omega = jnp.cumsum(p, axis=-1)  # class 0 = values <= t
     mu = jnp.cumsum(p * binsf, axis=-1)
     mu_total = mu[:, -1:]

@@ -306,30 +306,44 @@ def fit_quads(
       qualifying: () int32 — total component count (including any beyond
                   the K lanes: overflow accounting)
 
-    Lane assignment is scatter- and sort-free (both serialize on TPU): a
-    component's representative cell is its own label ("root"), roots are
-    ranked in raster order by a cumsum, and the first K map to lanes via a
-    (K, P) one-hot reduction.  Sizes then come from the lane membership
-    masks the quad fit needs anyway.
+    Lane assignment is scatter- and sort-free in the expensive dimension
+    (scatter and P-length sorts both serialize on TPU): a component's
+    representative cell is its own label ("root"); roots are ranked in
+    raster order by a cumsum into KR >= K internal lanes, their sizes are
+    counted with one (KR, P) masked reduction, and the final K lanes are
+    the top-K *by size* of those KR scalars (a tiny KR-length top_k, not a
+    P-length sort) — so small clutter components ahead of a marker in
+    raster order cannot exhaust the marker's lane (the reference candidate
+    list is unbounded, aruco.rs:124-166).  Components beyond the KR
+    ranking pool are not size-prioritized but still counted in
+    ``qualifying`` for overflow accounting.
     """
     hc, wc = labels.shape
     p = hc * wc
     k = params.max_candidates if k is None else k
+    kr = max(k, min(p, max(4 * k, 64)))  # size-ranking pool
     flat = labels.reshape(-1)
     idx = jnp.arange(p, dtype=jnp.int32)
 
     is_root = flat == idx  # white cells carry the sentinel p, never a root
     rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1
-    lane = jnp.where(is_root & (rank < k), rank, k)
-    onehot = lane[None, :] == jnp.arange(k, dtype=jnp.int32)[:, None]
-    roots = jnp.sum(jnp.where(onehot, idx[None, :], 0), axis=-1)  # (K,)
+    lane_r = jnp.where(is_root & (rank < kr), rank, kr)
+    onehot_r = lane_r[None, :] == jnp.arange(kr, dtype=jnp.int32)[:, None]
+    roots_r = jnp.sum(jnp.where(onehot_r, idx[None, :], 0), axis=-1)  # (KR,)
     n_roots = jnp.sum(is_root.astype(jnp.int32))
-    lane_used = jnp.arange(k) < n_roots
+    used_r = jnp.arange(kr) < n_roots
     qualifying = n_roots
 
-    # (K, P) membership masks.
+    # Sizes over the ranking pool, then keep the K largest components.
+    member_r = (flat[None, :] == roots_r[:, None]) & used_r[:, None]
+    sizes_r = jnp.sum(member_r.astype(jnp.int32), axis=-1)  # (KR,)
+    sizes, sel = jax.lax.top_k(jnp.where(used_r, sizes_r, -1), k)
+    roots = jnp.take(roots_r, sel)
+    lane_used = sizes >= 0
+
+    # (K, P) membership masks for the selected components.
     member = (flat[None, :] == roots[:, None]) & lane_used[:, None]
-    sizes = jnp.sum(member.astype(jnp.int32), axis=-1)
+    sizes = jnp.maximum(sizes, 0)
     valid = sizes >= params.min_component_px
 
     # Full-res coordinates of coarse cell centers.
@@ -603,6 +617,17 @@ def extract_candidates(coarse: jnp.ndarray, params: QuadParams, ds: int):
     reference's candidate list is unbounded, aruco.rs:124-166 — capacity
     loss must be observable).
     """
+    labels, labels2 = label_planes(coarse, params)
+    return candidates_from_labels(labels, labels2, params, ds)
+
+
+def label_planes(coarse: jnp.ndarray, params: QuadParams):
+    """Outer + inner label planes for one coarse mask (XLA path).
+
+    Semantically identical to ops.coarse_pallas.coarse_labels (the VMEM
+    mega-kernel); used directly on CPU and as the fallback for coarse
+    grids too large for the kernel's VMEM budget.
+    """
     # Outer pass: plain hole fill + CCL over ALL black.  Border-connected
     # black stays in (markers clipped at the image edge keep their — open,
     # unfilled — ring and are still fitted, like the reference's clipped
@@ -625,7 +650,7 @@ def extract_candidates(coarse: jnp.ndarray, params: QuadParams, ds: int):
         labels2 = label_components(m2, params.inner_ccl_rounds)
     else:
         labels2 = jnp.full_like(labels, labels.size)
-    return candidates_from_labels(labels, labels2, params, ds)
+    return labels, labels2
 
 
 def candidates_from_labels(

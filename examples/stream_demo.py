@@ -9,7 +9,14 @@ detect(+pose) program while the next batch assembles.  Prints per-second
 throughput and the best pose per stream; writes one annotated frame per
 stream at the end.
 
+Camera selection mirrors the reference's nokhwa example
+(examples/webcam_nokhwa.rs:28-82): ``--list-cameras`` enumerates the
+available sources and ``--camera-index=N`` runs a single selected source
+instead of all four.  Sources are synthetic here — the environment has no
+camera hardware — but the enumeration/selection surface is the same.
+
 Usage: python examples/stream_demo.py [seconds] [WxH]
+           [--camera-index=N] [--list-cameras]
 """
 
 import os
@@ -17,7 +24,6 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import sys
 import threading
 import time
 
@@ -28,17 +34,55 @@ from aruco3_tpu.render import render_marker
 from aruco3_tpu.runtime.stream import StreamPipeline
 from aruco3_tpu.utils.imageio import draw_marker_overlay, write_ppm
 
+CAMERA_SOURCES = [
+    {"index": 0, "name": "synthetic-cam-0 (orbit marker 7)", "marker": 7},
+    {"index": 1, "name": "synthetic-cam-1 (orbit marker 23)", "marker": 23},
+    {"index": 2, "name": "synthetic-cam-2 (orbit marker 42)", "marker": 42},
+    {"index": 3, "name": "synthetic-cam-3 (orbit marker 99)", "marker": 99},
+]
+
+
+def list_cameras() -> None:
+    """Enumerate available sources (reference webcam_nokhwa.rs:28-47)."""
+    for src in CAMERA_SOURCES:
+        print(f"[{src['index']}] {src['name']}")
+
 
 def main() -> None:
-    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 5.0
-    if len(sys.argv) > 2:
-        w, h = (int(t) for t in sys.argv[2].split("x"))
+    args = list(sys.argv[1:])
+    camera_index = None
+    if "--list-cameras" in args:
+        list_cameras()
+        return
+    for a in list(args):
+        if a.startswith("--camera-index"):
+            camera_index = int(a.split("=", 1)[1]) if "=" in a else int(
+                args[args.index(a) + 1]
+            )
+            args = [x for x in args if not x.startswith("--camera-index")]
+            if str(camera_index) in args:
+                args.remove(str(camera_index))
+    seconds = float(args[0]) if len(args) > 0 else 5.0
+    if len(args) > 1:
+        w, h = (int(t) for t in args[1].split("x"))
     else:
         w, h = 640, 480
 
+    if camera_index is not None:
+        if not any(s["index"] == camera_index for s in CAMERA_SOURCES):
+            raise SystemExit(
+                f"no camera with index {camera_index}; "
+                "run with --list-cameras"
+            )
+        sources = [s for s in CAMERA_SOURCES if s["index"] == camera_index]
+    else:
+        sources = CAMERA_SOURCES
+
     dictionary = ARDictionary.new_from_named_dict("ARUCO_DEFAULT")
     detector = Detector(DetectorConfig(), dictionary)
-    pipe = StreamPipeline(detector, (h, w), n_streams=4, batch=8)
+    pipe = StreamPipeline(
+        detector, (h, w), n_streams=len(sources), batch=8
+    )
 
     stop = threading.Event()
 
@@ -63,10 +107,11 @@ def main() -> None:
             pipe.push(stream_idx, frame)
             time.sleep(1 / 60)  # 60 fps per camera
 
-    marker_ids = [7, 23, 42, 99]
     threads = [
-        threading.Thread(target=camera, args=(i, marker_ids[i]), daemon=True)
-        for i in range(4)
+        threading.Thread(
+            target=camera, args=(i, src["marker"]), daemon=True
+        )
+        for i, src in enumerate(sources)
     ]
     pipe.start()
     for th in threads:

@@ -165,6 +165,69 @@ def test_component_overflow_is_reported():
     assert out_wide.stats["components_overflow"] == 0
 
 
+def test_clutter_does_not_starve_marker(aruco_detector):
+    """A marker below a field of small clutter components must still get a
+    candidate lane: lane assignment prioritizes component SIZE, not raster
+    order (the reference's candidate list is unbounded, aruco.rs:124-166,
+    so clutter ahead of a marker cannot displace it)."""
+    d = aruco_detector.dictionary
+    img = np.full((480, 640), 255, np.uint8)
+    # 64 small squares above the marker (all earlier in raster order).
+    for row in range(8):
+        for col in range(8):
+            y = 16 + row * 24
+            x = 40 + col * 70
+            img[y : y + 14, x : x + 14] = 0
+    corners = np.array(
+        [[180, 250], [460, 258], [450, 450], [170, 442]], float
+    )
+    sub = render_marker(d, 30, (640, 480), corners, noise_sigma=0.0)
+    img = np.minimum(img, sub)
+    det = aruco_detector.detect(img)
+    match = [m for m in det.markers if m.id == 30]
+    assert match, det.stats
+    assert cyclic_corner_error(match[0].corners, corners) < 2.5
+
+
+@pytest.mark.parametrize("size", [(1280, 720), (1000, 1000)])
+def test_detect_odd_pyramid_sizes(aruco_detector, size):
+    """Resolutions whose pyramid levels hit odd sizes below the warp
+    window (720p level 4 is 45x80) must not crash the pyramid builder."""
+    w, h = size
+    d = aruco_detector.dictionary
+    corners = np.array(
+        [
+            [w * 0.3, h * 0.3],
+            [w * 0.7, h * 0.32],
+            [w * 0.68, h * 0.7],
+            [w * 0.28, h * 0.68],
+        ],
+        float,
+    )
+    img = render_marker(d, 12, (w, h), corners, noise_sigma=2.0)
+    det = aruco_detector.detect(img)
+    match = [m for m in det.markers if m.id == 12]
+    assert match, det.stats
+    assert cyclic_corner_error(match[0].corners, corners) < 4.0
+
+
+def test_contour_simplification_epsilon_wired():
+    """epsilon maps onto the containment gate (the RDP-analogue): a disk
+    is rejected as a quad candidate at the reference default but accepted
+    with a much looser epsilon (reference aruco.rs:133 semantics: larger
+    RDP epsilon lets blobbier contours simplify to 4 vertices)."""
+    d = ARDictionary.new_from_named_dict("ARUCO_DEFAULT")
+    yy, xx = np.mgrid[0:480, 0:640]
+    disk = (yy - 240) ** 2 + (xx - 320) ** 2 <= 130**2
+    img = np.where(disk, 0, 255).astype(np.uint8)
+    strict = Detector(DetectorConfig(), d).detect(img)
+    loose = Detector(
+        DetectorConfig(contour_simplification_epsilon=0.4), d
+    ).detect(img)
+    assert strict.stats["candidates"] == 0, strict.stats
+    assert loose.stats["candidates"] >= 1, loose.stats
+
+
 def test_detect_rgb_input(aruco_detector):
     d = aruco_detector.dictionary
     corners = np.array([[200, 140], [440, 150], [430, 380], [190, 370]], float)

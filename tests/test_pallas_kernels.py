@@ -114,6 +114,53 @@ def test_coarse_labels_matches_xla(rng):
         np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref2))
 
 
+def test_coarse_labels_wide_grid(rng):
+    """Coarse grids wider than 256 lanes (4K-class frames at small coarse
+    factors) must run in the kernel when they fit VMEM, matching the XLA
+    label planes; far larger grids report not-fitting so the detector can
+    fall back."""
+    from aruco3_tpu.ops.coarse_pallas import coarse_fits_vmem, coarse_labels
+
+    p = segment.QuadParams()
+    assert coarse_fits_vmem(270, 480)  # 1080p at coarse_factor=4
+    assert not coarse_fits_vmem(2160, 3840)  # absurd: factor 1 at 4K
+
+    c = jnp.asarray(rng.random((1, 64, 300)) < 0.35)
+    ref1, ref2 = jax.vmap(lambda m: segment.label_planes(m, p))(c)
+    got1, got2 = coarse_labels(
+        c, p.bg_rounds, p.fill_rounds, p.ccl_rounds, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got1), np.asarray(ref1))
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref2))
+
+
+def test_refine_pallas_odd_candidate_count(rng):
+    """Odd max_candidates (public DetectorConfig knob) must work: the
+    batched kernel pads each frame's window list to the DMA group width."""
+    from aruco3_tpu.ops.refine_pallas import refine_corners_batch
+
+    b, k, h, w, ds = 2, 5, 160, 256, 8
+    wn = segment.refine_window_size(segment.QuadParams(), ds)
+    grey = jnp.asarray(rng.integers(0, 256, size=(b, h, w), dtype=np.uint8))
+    black = jnp.asarray(rng.random((b, h, w)) < 0.3)
+    quads = jnp.asarray(
+        rng.uniform(10, 140, size=(b, k, 4, 2)).astype(np.float32)
+    )
+    cents = jnp.mean(quads, axis=2)
+    is_inner = jnp.zeros((b, k), dtype=bool)
+    ref = jax.vmap(
+        lambda bl, q, c, g: segment.refine_corners(bl, q, c, ds, wn, grey=g)
+    )(black, quads, cents, grey)
+    zero_ic = jnp.zeros((b, -(-h // ds), -(-w // ds)), dtype=bool)
+    packed = jax.vmap(
+        lambda g, bl, ic: segment.build_packed_plane(g, bl, ic, ds)
+    )(grey, black, zero_ic)
+    got = refine_corners_batch(
+        packed, quads, cents, is_inner, ds, wn, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_refine_pallas_matches_xla(rng):
     from aruco3_tpu.ops.refine_pallas import refine_corners_batch
 
