@@ -48,6 +48,15 @@ def adaptive_threshold_np(grey: np.ndarray, radius: int) -> np.ndarray:
     Same semantics as frontend.adaptive_threshold (the jax implementation);
     both mirror imageproc::contrast::adaptive_threshold as called at
     reference aruco.rs:61.
+
+    Crate pin (imageproc 0.25, src/contrast.rs adaptive_threshold): the
+    crate computes the box sum over the radius-r window clamped to the
+    image and whitens a pixel when it is >= the block mean; the integer
+    compare here (pixel * area >= sum) avoids the division entirely, so
+    the only semantics at risk is the tie policy (pixel == mean => WHITE).
+    Checkable against the real crate via tests/golden/ (the
+    adaptive_threshold.json uniform-image case is all ties) — see
+    tests/golden/rust_validation.
     """
     g = grey.astype(np.int64)
     h, w = g.shape
@@ -83,6 +92,14 @@ def find_contours_np(white: np.ndarray) -> list[np.ndarray]:
     behind imageproc::contours::find_contours (reference aruco.rs:64).
     Returns each border as an (N, 2) int array of (x, y) pixel coords in
     traversal order.  Sequential by nature — host/test use only.
+
+    Crate pin (imageproc 0.25, src/contours.rs find_contours): nonzero
+    pixels are foreground; both OUTER and HOLE borders are traced per the
+    paper's NBD bookkeeping (foreground 8-connected, background
+    4-connected).  Which borders exist — the property candidate
+    extraction depends on — is checkable as point-sets via
+    tests/golden/find_contours.json + rust_validation (traversal
+    start/direction conventions may differ harmlessly).
     """
     h, w = white.shape
     # Pad by 1 so the follower needs no bounds checks; image pixel (i, j)
@@ -194,7 +211,15 @@ def _rdp_open(points: np.ndarray, eps: float) -> np.ndarray:
 
 def approximate_polygon_dp(points: np.ndarray, eps: float) -> np.ndarray:
     """Closed-curve RDP: split at the point farthest from points[0], RDP
-    both halves, rejoin (reference aruco.rs:133 via imageproc geometry)."""
+    both halves, rejoin (reference aruco.rs:133 via imageproc geometry).
+
+    Crate pin (imageproc 0.25, src/geometry.rs approximate_polygon_dp
+    with closed=true): perpendicular-distance RDP keeping endpoints; the
+    closed curve is split at the vertex farthest from the start point and
+    each open half is simplified.  The surviving-vertex COUNT (what the
+    reference's 4-vertex gate reads, aruco.rs:136) is checkable via
+    tests/golden/polygon_dp.json + rust_validation.
+    """
     pts = np.asarray(points)
     if len(pts) < 3:
         return pts
@@ -354,6 +379,11 @@ def warp_patch(grey: np.ndarray, quad: np.ndarray, size: int) -> np.ndarray:
 
 
 def otsu_level_np(patch: np.ndarray) -> int:
+    """Crate pin (imageproc 0.25, src/contrast.rs otsu_level): maximise
+    the between-class variance sigma_b^2(t) = (mu_T*omega - mu)^2 /
+    (omega*(1-omega)) over the 256-bin histogram, class 0 = values <= t,
+    first maximum wins.  Checkable via tests/golden/otsu.json +
+    rust_validation."""
     vals = np.clip(np.round(patch), 0, 255).astype(np.int64).ravel()
     hist = np.bincount(vals, minlength=256).astype(np.float64)
     p = hist / hist.sum()

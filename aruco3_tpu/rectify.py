@@ -583,7 +583,15 @@ def otsu_level(patches: jnp.ndarray) -> jnp.ndarray:
 def _triangle_resize_matrix(src: int, dst: int) -> np.ndarray:
     """(dst, src) row-stochastic Triangle (bilinear) resampling matrix with
     image-crate semantics: centers at (i+0.5), support scaled by the
-    downscale ratio, weights normalised per output pixel."""
+    downscale ratio, weights normalised per output pixel.
+
+    Crate pin (image 0.25, src/imageops/sample.rs: Triangle filter kernel
+    w(t) = max(0, 1-|t|) with support 1.0, evaluated at t = (i+0.5 -
+    center)/scale where scale = max(src/dst, 1), weights normalised over
+    the clamped support window).  Checkable via
+    tests/golden/triangle_resize.json + rust_validation (raw values to
+    the crate's u8 rounding; the pipeline's binarized-input bit reads
+    exactly)."""
     ratio = src / dst
     scale = max(ratio, 1.0)
     support = 1.0 * scale
