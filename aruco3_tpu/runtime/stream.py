@@ -286,37 +286,67 @@ class StreamPipeline:
         if self._worker is not None:
             self._worker.join(timeout=10)
 
-    def _run(self):
-        import jax
+    # The three pipeline hooks below are what tests override to measure
+    # the overlap property with synthetic timings.
+    def _assemble(self):
+        return assemble_batch(self.rings, self.batch)
+
+    def _dispatch(self, frames: np.ndarray):
+        """Enqueue one batch on the device; returns without waiting (jax
+        dispatch is asynchronous)."""
         import jax.numpy as jnp
 
+        return self.detector.detect_batch(jnp.asarray(frames))
+
+    def _sync(self, out) -> None:
+        """Block until a dispatched batch has completed on the device.
+        block_until_ready is unreliable through the remote-TPU relay; a
+        1-element fetch drains the FIFO queue."""
+        import jax.numpy as jnp
+
+        _ = np.asarray(jnp.ravel(out["marker_valid"])[:1])
+
+    def _run(self):
+        # Double-buffered: batch N runs on the device while batch N+1
+        # assembles on the host; N is only synced after N+1 has been
+        # assembled and dispatched behind it (the device queue is FIFO).
+        pending = None  # (t_dispatch, outputs, ids, seqs, n)
         while not self._stop.is_set():
-            frames, ids, seqs, n = assemble_batch(self.rings, self.batch)
-            if n == 0:
+            frames, ids, seqs, n = self._assemble()
+            if n == 0 and pending is None:
                 time.sleep(0.001)
                 continue
-            t0 = time.perf_counter()
-            out = self.detector.detect_batch(jnp.asarray(frames))
-            # Force completion: block_until_ready is unreliable through the
-            # remote-TPU relay; a 1-element fetch drains the FIFO queue.
-            _ = np.asarray(jnp.ravel(out["marker_valid"])[:1])
-            self.stats.detect_seconds += time.perf_counter() - t0
-            self.stats.batches += 1
-            self.stats.frames += n
-            self.stats.padded += self.batch - n
-            item = {"outputs": out, "stream_ids": ids, "seqs": seqs, "n": n}
-            # Drop-oldest when the consumer lags (live streams must not
-            # stall the device loop behind a slow consumer).
-            while True:
+            fresh = None
+            if n > 0:
+                t0 = time.perf_counter()
+                out = self._dispatch(frames)
+                fresh = (t0, out, ids, seqs, n)
+            if pending is not None:
+                self._complete(pending)
+            pending = fresh
+        if pending is not None:
+            self._complete(pending)
+
+    def _complete(self, pending) -> None:
+        t0, out, ids, seqs, n = pending
+        self._sync(out)
+        self.stats.detect_seconds += time.perf_counter() - t0
+        self.stats.batches += 1
+        self.stats.frames += n
+        self.stats.padded += self.batch - n
+        item = {"outputs": out, "stream_ids": ids, "seqs": seqs, "n": n}
+        # Drop-oldest when the consumer lags (live streams must not
+        # stall the device loop behind a slow consumer).
+        while True:
+            try:
+                self.results.put_nowait(item)
+                break
+            except queue.Full:
                 try:
-                    self.results.put_nowait(item)
-                    break
-                except queue.Full:
-                    try:
-                        self.results.get_nowait()
-                        self.stats.results_dropped += 1
-                    except queue.Empty:
-                        pass
+                    self.results.get_nowait()
+                    self.stats.results_dropped += 1
+                except queue.Empty:
+                    pass
 
     def drain(self, max_items: int = 64):
         items = []

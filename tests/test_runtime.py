@@ -63,6 +63,77 @@ def test_rgb_to_luma_matches_device():
     assert np.abs(host.astype(int) - dev.astype(int)).max() <= 1
 
 
+def test_stream_pipeline_overlaps_assembly_with_device():
+    """The double-buffered loop must overlap host batch assembly with the
+    in-flight device batch: with an artificially slow 'device' (50 ms) and
+    slow assembly (30 ms), N pipelined batches must take ~max(50,30) each,
+    well under the 80 ms serial sum (reference webcam loop is serial,
+    examples/webcam_kamera.rs:28-77 — this is the TPU-shaped replacement)."""
+    import time
+
+    dev_ms, asm_ms, batches = 0.05, 0.03, 8
+    events = []
+
+    class FakePipeline(rt.StreamPipeline):
+        def __init__(self):
+            super().__init__(
+                detector=None, frame_shape=(2, 2), n_streams=1, batch=1
+            )
+            self._served = 0
+
+        def _assemble(self):
+            if self._served >= batches:
+                return (
+                    np.zeros((1, 2, 2), np.uint8),
+                    np.full(1, -1, np.int64),
+                    np.full(1, -1, np.int64),
+                    0,
+                )
+            self._served += 1
+            events.append(("assemble_start", time.perf_counter()))
+            time.sleep(asm_ms)  # simulated host assembly cost
+            events.append(("assemble_end", time.perf_counter()))
+            return (
+                np.zeros((1, 2, 2), np.uint8),
+                np.zeros(1, np.int64),
+                np.arange(1, dtype=np.int64) + self._served,
+                1,
+            )
+
+        def _dispatch(self, frames):
+            # Simulated async device: completion at a future deadline.
+            return {"deadline": time.perf_counter() + dev_ms}
+
+        def _sync(self, out):
+            while time.perf_counter() < out["deadline"]:
+                time.sleep(0.001)
+            events.append(("complete", time.perf_counter()))
+
+    pipe = FakePipeline()
+    t0 = time.perf_counter()
+    pipe.start()
+    deadline = time.time() + 30
+    while time.time() < deadline and pipe.stats.batches < batches:
+        time.sleep(0.005)
+    elapsed = time.perf_counter() - t0
+    pipe.stop()
+    assert pipe.stats.batches == batches
+    serial = batches * (dev_ms + asm_ms)
+    # Pipelined: ~first assembly + N * max(dev, asm); assert well under
+    # the serial sum (leave slack for the 1-core CI box).
+    assert elapsed < serial * 0.85, (elapsed, serial)
+    # Structural overlap: assembly of batch N+1 begins before batch N's
+    # completion is observed.
+    starts = [t for k, t in events if k == "assemble_start"]
+    completes = [t for k, t in events if k == "complete"]
+    assert len(starts) >= batches and len(completes) >= 2
+    overlapped = sum(
+        1 for i in range(1, min(len(starts), len(completes)))
+        if starts[i] < completes[i - 1]
+    )
+    assert overlapped >= (batches - 1) // 2, events
+
+
 def test_stream_pipeline_end_to_end():
     d = ARDictionary.new_from_named_dict("ARUCO_DEFAULT")
     det = Detector(DetectorConfig(max_candidates=16), d)
