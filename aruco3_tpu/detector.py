@@ -246,12 +246,15 @@ def detect_batch_arrays(
         from .ops.frontend_pallas import fused_threshold_open_pool
 
         if pallas_refine:
-            coarse, packed = fused_threshold_open_pool(
-                grey,
-                cfg.threshold_window,
-                params.open_radius,
-                ds,
-                emit_packed=True,
+            coarse, packed, grey_src, src_halo_r, src_halo_c = (
+                fused_threshold_open_pool(
+                    grey,
+                    cfg.threshold_window,
+                    params.open_radius,
+                    ds,
+                    emit_packed=True,
+                    emit_grey_canvas=True,
+                )
             )
         else:
             black, coarse = fused_threshold_open_pool(
@@ -321,13 +324,25 @@ def detect_batch_arrays(
         )
 
         # Homography + warp: batched, windows DMA'd by the warp kernel.
+        # Level-0 windows read the frontend's padded u8 canvas directly;
+        # the bf16 canvas holds levels >= 1 only (75% less assembly
+        # traffic).
         s = cfg.homography_sample_size
         H, h_valid = rectify.homography_square_to_quad(quads, s)
         canvas, offsets, shapes = rectify.build_packed_pyramid(
-            grey, _num_levels(h, w)
+            grey, _num_levels(h, w), skip_level0=True
         )
         patches = rectify.warp_patches_dma(
-            canvas, offsets, shapes, H, quads, s, valid=valid & h_valid
+            canvas,
+            offsets,
+            shapes,
+            H,
+            quads,
+            s,
+            valid=valid & h_valid,
+            src=grey_src,
+            src_halo=(src_halo_r, src_halo_c),
+            image_hw=(h, w),
         )
 
         out = jax.vmap(

@@ -68,6 +68,66 @@ def _sliding_sum_lanes(x, width: int, roll):
     return out
 
 
+def _win_rows_multi(x, widths, op):
+    """Sliding min/max windows over rows via shrinking static slices.
+
+    out[w][i] = op over rows x[i : i+w].  Power-of-two partials are built
+    once for max(widths) and shared across all requested widths — the
+    separable-morphology trick that lets the opened mask (width 2r+1) and
+    the near plane (width 2(r+ext)+1) share most of the work.
+    """
+    wmax = max(widths)
+    pows = {1: x}
+    p = 1
+    while 2 * p <= wmax:
+        prev = pows[p]
+        pows[2 * p] = op(prev[: prev.shape[0] - p], prev[p:])
+        p *= 2
+    out = {}
+    n = x.shape[0]
+    for w in widths:
+        nout = n - w + 1
+        res = None
+        off = 0
+        rem = w
+        while rem:
+            p = 1 << (rem.bit_length() - 1)
+            term = pows[p][off : off + nout]
+            res = term if res is None else op(res, term)
+            off += p
+            rem -= p
+        out[w] = res
+    return out
+
+
+def _win_lanes_multi(x, widths, op, roll):
+    """Sliding min/max windows over lanes, CENTRED: out[w][i] = op over
+    lanes x[i-(w-1)//2 : i+(w+1)//2].  Shared power-of-two partials as in
+    _win_rows_multi; lanes rolled in across the buffer edge only touch
+    output lanes within ~w of the edge, which sit deep inside the halo
+    columns and are never read downstream.
+    """
+    wmax = max(widths)
+    pows = {1: x}
+    p = 1
+    while 2 * p <= wmax:
+        pows[2 * p] = op(pows[p], roll(pows[p], -p, 1))
+        p *= 2
+    out = {}
+    for w in widths:
+        res = None
+        off = 0
+        rem = w
+        while rem:
+            p = 1 << (rem.bit_length() - 1)
+            term = pows[p] if off == 0 else roll(pows[p], -off, 1)
+            res = term if res is None else op(res, term)
+            off += p
+            rem -= p
+        out[w] = roll(res, (w - 1) // 2, 1)
+    return out
+
+
 def _sliding_sum_rows(x, width: int, n_out: int, base: int):
     """Row-direction running sums via static shrinking slices (sublane
     rolls lower pathologically in Mosaic for int32).
@@ -94,7 +154,10 @@ def _sliding_sum_rows(x, width: int, n_out: int, base: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window", "open_radius", "ds", "interpret", "emit_packed"),
+    static_argnames=(
+        "window", "open_radius", "ds", "interpret", "emit_packed",
+        "emit_grey_canvas",
+    ),
 )
 def fused_threshold_open_pool(
     grey: jnp.ndarray,
@@ -103,6 +166,7 @@ def fused_threshold_open_pool(
     ds: int = 10,
     interpret: bool = False,
     emit_packed: bool = False,
+    emit_grey_canvas: bool = False,
 ):
     """(B, H, W) or (H, W) uint8 -> (black (…, H, W) bool,
     coarse (…, Hc, Wc) bool[, packed (…, Hpad, Wpad) int32]).
@@ -115,6 +179,14 @@ def fused_threshold_open_pool(
     (grey | twice-dilated-black << 8) on a zero-padded canvas sized for
     ops.refine_pallas window DMAs (rows multiple of 8 + slack, cols
     multiple of 128 + slack).
+
+    When ``emit_grey_canvas`` (with emit_packed), additionally returns
+    (src, halo, halo_c): the kernel's own zero-padded u8 input canvas —
+    the image at row/col offset (halo, halo_c), zeros outside, halo
+    8-row / 128-lane aligned — which the warp kernel
+    (ops.warp_gather) uses as its pyramid LEVEL-0 source, so the bf16
+    canvas never carries a full-resolution level.  Costs nothing: the
+    padded canvas is materialized for the kernel's own strip DMAs anyway.
     """
     squeeze = grey.ndim == 2
     if squeeze:
@@ -122,7 +194,10 @@ def fused_threshold_open_pool(
     b, h, w = grey.shape
     r = open_radius
     ext = 2 if emit_packed else 0  # extra rows for the near-dilation
-    halo = window + 2 * r + ext
+    # 8-row-aligned halo so the image sits at an 8-aligned row offset in
+    # the padded canvas (required for the warp kernel's level-0 u8 window
+    # DMAs when emit_grey_canvas is set; harmless otherwise).
+    halo = _round_up(window + 2 * r + ext, 8)
     # Strip height: 8 coarse rows per strip so the coarse output block's
     # sublane dim is divisible by 8 (TPU tiling constraint).
     th = 8 * ds
@@ -216,7 +291,7 @@ def fused_threshold_open_pool(
         nrows = th + 2 * r2
         # Row direction: sliding sums over the strip buffer; row 0 of the
         # output corresponds to absolute image row i*th - r2.
-        off = halo - r2 - window  # == 0 by construction
+        off = halo - r2 - window  # small non-negative (halo is rounded up)
         sums = _sliding_sum_rows(colsum, 2 * window + 1, nrows, off)
 
         # --- counts (closed form, position-dependent at borders) ---
@@ -253,32 +328,42 @@ def fused_threshold_open_pool(
             1.0 - white.astype(jnp.float32), 1.0 - inside_i
         )
 
-        # --- opening (erode^r then dilate^r), matching segment.open_mask
-        # boundary semantics: erosion sees True outside the image, the
-        # eroded mask is cleared outside the image before dilation.
-        # Row shifts are *shrinking static slices* (sublane rolls on int32
-        # compile to a pathological Mosaic path); lane shifts are cheap
-        # rolls.  Each round consumes one halo row per side.
-        def neigh_shrink(m, op):
-            rows = op(op(m[0:-2], m[1:-1]), m[2:])
-            return op(op(rows, roll(rows, 1, 1)), roll(rows, -1, 1))
-
-        m = black
-        for _ in range(r):
-            m = neigh_shrink(m, jnp.minimum)
+        # --- opening + near plane as SEPARABLE min/max windows.
+        # r rounds of 3x3 erosion == one (2r+1)-square erosion; likewise
+        # dilation.  Rows use shrinking static slices (sublane rolls on
+        # int32/f32 compile to a pathological Mosaic path), lanes use
+        # rolls; the opened mask (width 2r+1) and the near plane (width
+        # 2(r+ext)+1 — dilation of the SAME eroded mask) share one set of
+        # power-of-two partials, cutting the VPU op count vs iterated
+        # 3x3 rounds.  Boundary semantics match segment.open_mask: the
+        # erosion sees black outside the image; the eroded mask is
+        # cleared outside the image before any dilation.
+        we = 2 * r + 1
+        w9 = 2 * (r + ext) + 1
         if r:
-            m = m * inside_i[r:-r]
-        for _ in range(r):
-            m = neigh_shrink(m, jnp.maximum)
-        # m now has th + 2*ext rows (opened black + ext rows each side).
-        if ext:
-            opened_mid = m[ext:-ext] * inside_i[r2:-r2]
-            near = m
-            for _ in range(ext):
-                near = neigh_shrink(near, jnp.maximum)
-            near = near * inside_i[r2:-r2]  # (th, twb)
+            er = _win_rows_multi(black, (we,), jnp.minimum)[we]
+            ero = _win_lanes_multi(er, (we,), jnp.minimum, roll)[we]
+            ero = ero * inside_i[r:-r]
         else:
-            opened_mid = m * inside_i[r2:-r2] if r2 else m * inside_i
+            ero = black * inside_i
+        if ext:
+            lan = _win_lanes_multi(ero, (we, w9), jnp.maximum, roll)
+            op5 = _win_rows_multi(lan[we], (we,), jnp.maximum)[we]
+            op5 = op5 if ext == 0 else op5[ext:-ext]
+            opened_mid = op5 * inside_i[r2:-r2]
+            near = (
+                _win_rows_multi(lan[w9], (w9,), jnp.maximum)[w9]
+                * inside_i[r2:-r2]
+            )  # (th, twb)
+        elif r:
+            lan = _win_lanes_multi(ero, (we,), jnp.maximum, roll)[we]
+            opened_mid = (
+                _win_rows_multi(lan, (we,), jnp.maximum)[we]
+                * (inside_i[r2:-r2] if r2 else inside_i)
+            )
+            near = None
+        else:
+            opened_mid = ero
             near = None
         central = opened_mid  # (th, twb)
         lane0 = halo_c
@@ -345,6 +430,10 @@ def fused_threshold_open_pool(
     coarse = pooled * 2 >= max(ds, 2)
     if emit_packed:
         packed = outs[1]
+        if emit_grey_canvas:
+            if squeeze:
+                return coarse[0], packed[0], src[0], halo, halo_c
+            return coarse, packed, src, halo, halo_c
         if squeeze:
             return coarse[0], packed[0]
         return coarse, packed

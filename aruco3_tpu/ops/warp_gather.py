@@ -3,15 +3,23 @@
 The XLA warp (rectify.warp_patches_mxu) extracts one 64x64 window per
 candidate with vmapped dynamic_slice (row gathers — the dominant cost)
 and materializes (B, K, S^2, 64) bf16 weight tensors in HBM.  This kernel
-DMAs each candidate's window from the packed bf16 pyramid canvas, builds
-the separable bilinear weights in VMEM, and runs the two contractions on
-the MXU — windows and weights never touch HBM; only the (S^2,) sample
-vector per candidate does.
+DMAs each candidate's window, builds the separable bilinear weights in
+VMEM, and runs the two contractions on the MXU — windows and weights
+never touch HBM; only the (S^2,) sample vector per candidate does.
 
-Window geometry: the DMA reads a (SH=80, 256)-aligned block; the true
-64-lane window starts at a 64-multiple inside it (selected by a static
-half-shift), rows carry a <=15-row alignment offset folded into the
-sample coordinates.
+Two window sources:
+  * pyramid LEVEL 0 windows come straight from the frontend's padded u8
+    grey canvas (ops.frontend_pallas emit_grey_canvas) — the bf16 canvas
+    therefore never carries a full-resolution level, killing the largest
+    HBM cost of canvas assembly;
+  * levels >= 1 come from the packed bf16 pyramid canvas
+    (rectify.build_packed_pyramid with skip_level0).
+
+Window geometry: the bf16 DMA reads an (80, 256)-aligned block (64-row
+window + <=15-row alignment); the u8 DMA reads (72, 256) (<=7-row
+alignment: u8 rows align to 8).  The true 64-lane window starts at a
+64-multiple inside the 256-lane block (selected by a static half-shift);
+row alignment offsets are folded into the sample coordinates host-side.
 """
 
 from __future__ import annotations
@@ -30,17 +38,20 @@ def _round_up(x: int, m: int) -> int:
 
 
 _G = 8  # windows per grid step
-_SH = 80  # buffer rows: 64-row window + <=15 alignment + pad to 16
+_SH = 80  # bf16 buffer rows: 64-row window + <=15 alignment + pad to 16
+_SHU = 72  # u8 buffer rows: 64-row window + <=7 alignment (8-aligned)
 _SW = 256  # buffer lanes: 128-lane span + <=64 alignment + pad to 128
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def warp_gather_eval(
     canvas: jnp.ndarray,  # (B, Hc, Wc) bfloat16, Hc % 16 == 0, Wc % 128 == 0
+    src: jnp.ndarray,  # (B, Hs, Ws) uint8 padded grey (level-0 source)
     bidx: jnp.ndarray,  # (N,) int32 frame index
-    by: jnp.ndarray,  # (N,) int32 row base (multiple of 16)
+    by: jnp.ndarray,  # (N,) int32 row base (canvas: %16; src: %8)
     bx: jnp.ndarray,  # (N,) int32 lane base (multiple of 128)
     half: jnp.ndarray,  # (N,) int32 in {0, 1}: window starts at bx + 64*half
+    lvl0: jnp.ndarray,  # (N,) int32 in {0, 1}: 1 = window reads src (u8)
     valid: jnp.ndarray,  # (N,) bool — invalid windows skip their DMA
     ux: jnp.ndarray,  # (N, S2) f32 sample x relative to the 128-lane window
     uy: jnp.ndarray,  # (N, S2) f32 sample y relative to row base
@@ -58,6 +69,7 @@ def warp_gather_eval(
 
     bidx_p, by_p, bx_p = padi(bidx), padi(by), padi(bx)
     half_p = padi(half)
+    lvl0_p = padi(lvl0)
     valid_p = padi(valid)
     uxp = jnp.full((npad, s2p), -1e6, jnp.float32).at[:n, :s2].set(ux)
     uyp = jnp.full((npad, s2p), -1e6, jnp.float32).at[:n, :s2].set(uy)
@@ -65,13 +77,14 @@ def warp_gather_eval(
     grid = (npad // _G,)
 
     def kernel(
-        bidx_ref, by_ref, bx_ref, half_ref, valid_ref, ux_ref, uy_ref,
-        canvas_ref, out_ref, scratch, sems,
+        bidx_ref, by_ref, bx_ref, half_ref, lvl0_ref, valid_ref,
+        ux_ref, uy_ref, canvas_ref, src_ref, out_ref,
+        scratch_bf, scratch_u8, sems_bf, sems_u8,
     ):
         i = pl.program_id(0)
         nsteps = pl.num_programs(0)
 
-        def dma(step, slot, g):
+        def dma_bf(step, slot, g):
             widx = step * _G + g
             return pltpu.make_async_copy(
                 canvas_ref.at[
@@ -79,18 +92,36 @@ def warp_gather_eval(
                     pl.ds(pl.multiple_of(by_ref[widx], 16), _SH),
                     pl.ds(pl.multiple_of(bx_ref[widx], 128), _SW),
                 ],
-                scratch.at[slot, g],
-                sems.at[slot, g],
+                scratch_bf.at[slot, g],
+                sems_bf.at[slot, g],
+            )
+
+        def dma_u8(step, slot, g):
+            widx = step * _G + g
+            return pltpu.make_async_copy(
+                src_ref.at[
+                    bidx_ref[widx],
+                    pl.ds(pl.multiple_of(by_ref[widx], 8), _SHU),
+                    pl.ds(pl.multiple_of(bx_ref[widx], 128), _SW),
+                ],
+                scratch_u8.at[slot, g],
+                sems_u8.at[slot, g],
             )
 
         def start_group(step, slot):
             # Invalid lanes skip their DMA: issue overhead dominates and
             # most candidate lanes are invalid in typical frames.
             for g in range(_G):
+                is_valid = valid_ref[step * _G + g] != 0
+                is_l0 = lvl0_ref[step * _G + g] != 0
 
-                @pl.when(valid_ref[step * _G + g] != 0)
+                @pl.when(is_valid & is_l0)
                 def _():
-                    dma(step, slot, g).start()
+                    dma_u8(step, slot, g).start()
+
+                @pl.when(is_valid & jnp.logical_not(is_l0))
+                def _():
+                    dma_bf(step, slot, g).start()
 
         slot = i % 2
 
@@ -113,18 +144,39 @@ def warp_gather_eval(
         )
 
         for g in range(_G):
-            # Invalid windows skip compute too (their out rows are garbage,
-            # masked downstream): most candidate lanes are invalid in
-            # typical frames and the two contractions are the kernel's
-            # entire FLOP cost.
-            @pl.when(valid_ref[i * _G + g] != 0)
+            # Invalid windows skip compute too (their out rows are
+            # garbage, masked downstream).
+            is_valid = valid_ref[i * _G + g] != 0
+            is_l0 = lvl0_ref[i * _G + g] != 0
+
+            @pl.when(is_valid)
             def _():
-                dma(i, slot, g).wait()
+                @pl.when(is_l0)
+                def _():
+                    dma_u8(i, slot, g).wait()
+
+                @pl.when(jnp.logical_not(is_l0))
+                def _():
+                    dma_bf(i, slot, g).wait()
+
                 widx = i * _G + g
-                buf = scratch[slot, g]  # (_SH, _SW) bf16
-                win = jnp.where(
-                    half_ref[widx] == 0, buf[:, :128], buf[:, 64:192]
+                bufb = scratch_bf[slot, g]  # (_SH, _SW) bf16
+                bufu = scratch_u8[slot, g]  # (_SHU, _SW) u8
+                winb = jnp.where(
+                    half_ref[widx] == 0, bufb[:, :128], bufb[:, 64:192]
                 )  # (_SH, 128)
+                # u8 -> bf16 via i32/f32 (Mosaic has no direct u8 cast);
+                # u8 values <= 255 are exact in bf16.  Pad 72 -> 80 rows
+                # with zeros (uy alignment slack for u8 is <= 7, so rows
+                # beyond 71 carry zero weight).
+                winu = jnp.where(
+                    half_ref[widx] == 0, bufu[:, :128], bufu[:, 64:192]
+                ).astype(jnp.int32).astype(jnp.float32)
+                winu = jnp.concatenate(
+                    [winu, jnp.zeros((_SH - _SHU, 128), jnp.float32)],
+                    axis=0,
+                ).astype(jnp.bfloat16)
+                win = jnp.where(is_l0, winu, winb)
                 # wxT[x, s] = weight of window column x for sample s.
                 wxt = jnp.maximum(
                     0.0, 1.0 - jnp.abs(ux_ref[g][None, :] - ic)
@@ -140,7 +192,7 @@ def warp_gather_eval(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=6,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
@@ -154,17 +206,20 @@ def warp_gather_eval(
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (_G, s2p), lambda i, *_refs: (i, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, _G, _SH, _SW), jnp.bfloat16),
+                pltpu.VMEM((2, _G, _SHU, _SW), jnp.uint8),
+                pltpu.SemaphoreType.DMA((2, _G)),
                 pltpu.SemaphoreType.DMA((2, _G)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((npad, s2p), jnp.float32),
         interpret=interpret,
-    )(bidx_p, by_p, bx_p, half_p, valid_p, uxp, uyp, canvas)
+    )(bidx_p, by_p, bx_p, half_p, lvl0_p, valid_p, uxp, uyp, canvas, src)
 
     return out[:n, :s2]

@@ -300,13 +300,21 @@ def warp_patches_pallas(
 # --------------------------------------------------------------------------
 # Bilinear patch warp — Pallas DMA path (batched; windows never hit HBM)
 # --------------------------------------------------------------------------
-def build_packed_pyramid(grey: jnp.ndarray, levels: int):
-    """(B, H, W) u8 -> one bf16 canvas with all pyramid levels stacked.
+def build_packed_pyramid(
+    grey: jnp.ndarray, levels: int, skip_level0: bool = False
+):
+    """(B, H, W) u8 -> one bf16 canvas with pyramid levels stacked.
 
     Level semantics match build_pyramid exactly (pad to >=64/even, 2x2 box
     mean).  16 zero rows separate levels and >=192 zero lanes pad the
     right edge so the warp kernel's aligned (80, 256) window DMAs can
     never read another level's pixels (zeros == the black default).
+
+    With ``skip_level0`` the canvas holds levels >= 1 only (level-0
+    windows DMA straight from the frontend's padded u8 grey canvas — see
+    ops.warp_gather): the full-resolution level is ~75% of the canvas
+    bytes, so skipping its cast/pad/concat removes most of the canvas
+    assembly traffic.  ``offsets[0]`` is then a dead placeholder.
 
     Returns (canvas (B, Hcan, Wcan) bf16, row_offsets, level_shapes).
     """
@@ -343,12 +351,17 @@ def build_packed_pyramid(grey: jnp.ndarray, levels: int):
             jnp.asarray(csel, dtype=jnp.bfloat16),
             preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16)
-    w0 = shapes[0][1]
+    start = 1 if skip_level0 else 0
+    if start >= levels:
+        # Single-level pyramid with level 0 external: dummy canvas.
+        canvas = jnp.zeros((b, 96, 128), jnp.bfloat16)
+        return canvas, [0] * levels, shapes
+    w0 = shapes[start][1]
     wcan = -(-w0 // 128) * 128 + 256
     rows = []
-    offsets = []
+    offsets = [0] * start  # placeholder for the skipped level 0
     off = 0
-    for padded, (ph, pw) in zip(padded_levels, shapes):
+    for padded, (ph, pw) in zip(padded_levels[start:], shapes[start:]):
         offsets.append(off)
         # Cast before pad/concat (halves assembly traffic) and keep every
         # level block a multiple of 16 rows so the bf16 (16, 128)-tile
@@ -361,10 +374,24 @@ def build_packed_pyramid(grey: jnp.ndarray, levels: int):
             )
         )
         off += block_h
-    canvas = jnp.concatenate(rows, axis=1)
+    canvas = jnp.concatenate(rows, axis=1) if len(rows) > 1 else rows[0]
     hcan = off + 96
     canvas = jnp.pad(canvas, ((0, 0), (0, hcan - off), (0, 0)))
     return canvas, offsets, shapes
+
+
+def build_grey_src(grey: jnp.ndarray, halo: int = 16, halo_c: int = 128):
+    """Zero-padded u8 canvas with the image at (halo, halo_c) — the same
+    layout the fused frontend kernel materializes for its own strip DMAs
+    (ops.frontend_pallas emit_grey_canvas).  Used by tests and any caller
+    that wants the level-0-from-u8 warp without the fused frontend.
+    Sized so every aligned (72, 256) level-0 window DMA stays in bounds.
+    """
+    b, h, w = grey.shape
+    rows = halo + -(-h // 8) * 8 + 80
+    cols = halo_c + -(-w // 128) * 128 + 256
+    src = jnp.zeros((b, rows, cols), jnp.uint8)
+    return jax.lax.dynamic_update_slice(src, grey, (0, halo, halo_c))
 
 
 def warp_patches_dma(
@@ -376,12 +403,20 @@ def warp_patches_dma(
     patch_size: int,
     valid: jnp.ndarray | None = None,  # (B, K) lane validity
     interpret: bool = False,
+    src: jnp.ndarray | None = None,  # (B, Hs, Ws) u8 level-0 source
+    src_halo: tuple[int, int] = (16, 128),
+    image_hw: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Batched warp via the Pallas window-DMA kernel (ops.warp_gather).
 
     Same sampling semantics as warp_patches_mxu (per-candidate pyramid
     level, bilinear separable weights, black outside); numerics match to
     bf16 rounding.
+
+    When ``src`` is given (the padded u8 grey canvas; image at
+    ``src_halo``, ``image_hw`` true dims) level-0 windows DMA from it
+    directly and ``canvas`` must have been built with skip_level0 —
+    the full-resolution level never exists in bf16.
     """
     from .ops.warp_gather import warp_gather_eval
 
@@ -389,6 +424,7 @@ def warp_patches_dma(
     s = patch_size
     levels = len(shapes)
     win = _WARP_WIN
+    use_src = src is not None
 
     ys, xs = jnp.meshgrid(
         jnp.arange(s, dtype=jnp.float32),
@@ -396,11 +432,11 @@ def warp_patches_dma(
         indexing="ij",
     )
     pix = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1).reshape(-1, 3)
-    src = jnp.einsum("bkij,pj->bkpi", H, pix, precision=_HIGHEST)
-    wdiv = src[..., 2]
+    smpl = jnp.einsum("bkij,pj->bkpi", H, pix, precision=_HIGHEST)
+    wdiv = smpl[..., 2]
     wsafe = jnp.where(jnp.abs(wdiv) < 1e-12, 1.0, wdiv)
-    sx = src[..., 0] / wsafe  # (B, K, S2) image coords
-    sy = src[..., 1] / wsafe
+    sx = smpl[..., 0] / wsafe  # (B, K, S2) image coords
+    sy = smpl[..., 1] / wsafe
     bad = jnp.abs(wdiv) < 1e-12
 
     bmin = jnp.min(quads, axis=-2)
@@ -415,7 +451,13 @@ def warp_patches_dma(
 
     all_ty, all_tx, all_ux, all_uy = [], [], [], []
     for level in range(levels):
-        hl, wl = shapes[level]
+        if level == 0 and use_src:
+            # Level-0 windows address the u8 src in IMAGE coordinates;
+            # the halo offsets are applied after level selection.
+            hl, wl = image_hw
+            hl, wl = max(hl, win), max(wl, win)
+        else:
+            hl, wl = shapes[level]
         scale = float(2**level)
         cl = (center + 0.5) / scale - 0.5
         tlx = jnp.clip(
@@ -424,10 +466,11 @@ def warp_patches_dma(
         tly = jnp.clip(
             jnp.round(cl[..., 1]).astype(jnp.int32) - win // 2, 0, hl - win
         )
+        row_off = 0 if (level == 0 and use_src) else offsets[level]
         all_ux.append((sx + 0.5) / scale - 0.5)
-        all_uy.append((sy + 0.5) / scale - 0.5 + float(offsets[level]))
+        all_uy.append((sy + 0.5) / scale - 0.5 + float(row_off))
         all_tx.append(tlx)
-        all_ty.append(tly + offsets[level])
+        all_ty.append(tly + row_off)
 
     def sel(stack, zero=0):
         return sum(
@@ -441,17 +484,31 @@ def warp_patches_dma(
             for level in range(levels)
         )
 
-    ty = sel(all_ty)  # (B, K) canvas rows
+    ty = sel(all_ty)  # (B, K) canvas rows (src path: image rows at lvl 0)
     tx = sel(all_tx)
     uxl = sel(all_ux, 0.0)  # (B, K, S2) level coords
-    uyl = sel(all_uy, 0.0)  # canvas rows
+    uyl = sel(all_uy, 0.0)
 
     s64 = (tx // 64) * 64
-    bx = (s64 // 128) * 128
-    half = (s64 - bx) // 64
-    by = (ty // 16) * 16
+    bxl = (s64 // 128) * 128
+    half = (s64 - bxl) // 64
     ux_rel = uxl - s64[..., None].astype(jnp.float32)
-    uy_rel = uyl - by[..., None].astype(jnp.float32)
+    if use_src:
+        halo_r, halo_c = src_halo
+        is0 = lvl == 0
+        by_img = (ty // 8) * 8  # u8 rows align to 8
+        by_can = (ty // 16) * 16  # bf16 rows align to 16
+        by_rel = jnp.where(is0, by_img, by_can)
+        by = jnp.where(is0, halo_r + by_img, by_can)
+        bx = jnp.where(is0, halo_c + bxl, bxl)
+        uy_rel = uyl - by_rel[..., None].astype(jnp.float32)
+        lvl0 = is0.astype(jnp.int32)
+    else:
+        by = (ty // 16) * 16
+        bx = bxl
+        uy_rel = uyl - by[..., None].astype(jnp.float32)
+        lvl0 = jnp.zeros((b, k), jnp.int32)
+        src = jnp.zeros((b, 80, 256), jnp.uint8)  # dead operand
 
     n = b * k
     s2 = s * s
@@ -460,10 +517,12 @@ def warp_patches_dma(
         valid = jnp.ones((b, k), dtype=bool)
     vals = warp_gather_eval(
         canvas,
+        src,
         bidx,
         by.reshape(n),
         bx.reshape(n),
         half.reshape(n),
+        lvl0.reshape(n),
         valid.reshape(n),
         ux_rel.reshape(n, s2),
         uy_rel.reshape(n, s2),

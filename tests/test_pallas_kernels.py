@@ -202,9 +202,12 @@ def test_refine_pallas_matches_xla(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
-def test_warp_dma_matches_mxu(rng):
+@pytest.mark.parametrize("src_l0", [False, True])
+def test_warp_dma_matches_mxu(rng, src_l0):
     """The batched DMA warp must match the XLA MXU warp to bf16 rounding
-    (same level selection, same bilinear weights, black outside)."""
+    (same level selection, same bilinear weights, black outside) — both
+    with the full bf16 canvas and with level 0 read from the u8 grey
+    canvas (the detector's configuration)."""
     b, h, w, K, S = 2, 240, 320, 5, 49
     grey = jnp.asarray(rng.integers(0, 256, size=(b, h, w), dtype=np.uint8))
     # Quads safely inside the frame and within their warp windows.
@@ -225,10 +228,15 @@ def test_warp_dma_matches_mxu(rng):
             for i in range(b)
         ]
     )
-    canvas, offsets, shapes = rectify.build_packed_pyramid(grey, levels)
+    canvas, offsets, shapes = rectify.build_packed_pyramid(
+        grey, levels, skip_level0=src_l0
+    )
+    kwargs = {}
+    if src_l0:
+        kwargs = dict(src=rectify.build_grey_src(grey), image_hw=(h, w))
     got = np.asarray(
         rectify.warp_patches_dma(
-            canvas, offsets, shapes, H, quads, S, interpret=True
+            canvas, offsets, shapes, H, quads, S, interpret=True, **kwargs
         )
     )
     # The DMA path's pyramid accumulates bf16 rounding per level (~0.25

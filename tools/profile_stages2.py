@@ -44,9 +44,9 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
     def fn(images):
         acc = []
         grey = frontend.rgb_to_luma_u8(images)
-        coarse, packed = fused_threshold_open_pool(
+        coarse, packed, grey_src, halo_r, halo_c = fused_threshold_open_pool(
             grey, cfg.threshold_window, params.open_radius, ds,
-            emit_packed=True,
+            emit_packed=True, emit_grey_canvas=True,
         )
         acc.append(jnp.sum(coarse.astype(jnp.int32)))
         acc.append(jnp.sum(packed[:, ::97, ::97]))
@@ -87,12 +87,13 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
             acc.append(jnp.sum(H))
         if upto >= 7:
             canvas, offsets, shapes = rectify.build_packed_pyramid(
-                grey, _num_levels(h, w)
+                grey, _num_levels(h, w), skip_level0=True
             )
             acc.append(jnp.sum(canvas[:, ::311, ::311].astype(jnp.float32)))
         if upto >= 8:
             patches = rectify.warp_patches_dma(
-                canvas, offsets, shapes, H, quads, s, valid=valid & h_valid
+                canvas, offsets, shapes, H, quads, s, valid=valid & h_valid,
+                src=grey_src, src_halo=(halo_r, halo_c), image_hw=(h, w),
             )
             acc.append(jnp.sum(patches))
         if upto >= 9:
