@@ -198,9 +198,13 @@ def fused_threshold_open_pool(
     # the padded canvas (required for the warp kernel's level-0 u8 window
     # DMAs when emit_grey_canvas is set; harmless otherwise).
     halo = _round_up(window + 2 * r + ext, 8)
-    # Strip height: 8 coarse rows per strip so the coarse output block's
-    # sublane dim is divisible by 8 (TPU tiling constraint).
-    th = 8 * ds
+    # Strip height: a multiple of 8 coarse rows per strip so the coarse
+    # output block's sublane dim is divisible by 8 (TPU tiling
+    # constraint).  Taller strips amortize the per-strip halo rows'
+    # redundant compute (2*halo of ~th rows); 16 coarse rows when the
+    # f32 working planes stay comfortably inside VMEM.
+    rows_per_strip = 16 if ds * 16 <= 192 else 8
+    th = rows_per_strip * ds
     # One extra zero strip so downstream consumers (refine window DMAs)
     # can read past round_up(h, th) without touching uninitialised memory.
     hp = _round_up(h, th) + (th if emit_packed else 0)
@@ -370,9 +374,15 @@ def fused_threshold_open_pool(
         if packed_ref is not None:
             # The batched detector never reads the full-res black mask
             # (the packed plane replaces it) — skip its cast+write.
+            # int16 (values <= 511 = grey | near<<8) halves the write
+            # traffic of the pipeline's largest intermediate.
             gm = gmid[r2:-r2] if r2 else gmid
             packed = (gm + near * 256.0) * inside_i[r2:-r2]
-            packed_ref[0] = packed[:, lane0 : lane0 + tw].astype(jnp.int32)
+            packed_ref[0] = (
+                packed[:, lane0 : lane0 + tw]
+                .astype(jnp.int32)
+                .astype(jnp.int16)
+            )
         else:
             black_ref[0] = (
                 central[:, lane0 : lane0 + tw]
@@ -401,7 +411,7 @@ def fused_threshold_open_pool(
         out_specs = [pool_spec, tile_spec]
         out_shapes = [
             jax.ShapeDtypeStruct((b, hp // ds, wp), jnp.uint8),
-            jax.ShapeDtypeStruct((b, hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((b, hp, wp), jnp.int16),
         ]
     else:
         out_specs = [tile_spec, pool_spec]

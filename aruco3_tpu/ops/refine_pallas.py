@@ -34,7 +34,7 @@ _G = 8  # windows per grid step (DMA pipeline width)
     jax.jit, static_argnames=("wn", "clamp_r", "ds", "interpret")
 )
 def refine_eval(
-    packed: jnp.ndarray,  # (B, Hp, Wp) int32, Hp % 8 == 0, Wp % 128 == 0
+    packed: jnp.ndarray,  # (B, Hp, Wp) int16/int32, aligned rows/lanes
     inner_plane: jnp.ndarray,  # (B, Hcp, Wcp) int32 coarse inner footprint
     bidx: jnp.ndarray,  # (N,) int32 frame index per window
     tly: jnp.ndarray,  # (N,) int32 window top (in-bounds for wn)
@@ -63,11 +63,14 @@ def refine_eval(
     """
     n = tly.shape[0]
     npad = _round_up(max(n, _G), _G)
-    sh = _round_up(wn + 7, 8)
+    # Row alignment follows the plane dtype: int16 tiles are (16, 128),
+    # int32 tiles (8, 128).
+    align = 16 if packed.dtype == jnp.int16 else 8
+    sh = _round_up(wn + align - 1, align)
     sw = _round_up(wn + 127, 128)
     hcp, wcp = inner_plane.shape[1], inner_plane.shape[2]
 
-    by = (tly // 8) * 8
+    by = (tly // align) * align
     bx = (tlx // 128) * 128
 
     def padi(a):
@@ -101,7 +104,7 @@ def refine_eval(
             return pltpu.make_async_copy(
                 packed_ref.at[
                     bidx_ref[widx],
-                    pl.ds(pl.multiple_of(by_ref[widx], 8), sh),
+                    pl.ds(pl.multiple_of(by_ref[widx], align), sh),
                     pl.ds(pl.multiple_of(bx_ref[widx], 128), sw),
                 ],
                 scratch.at[slot, g],
@@ -143,7 +146,7 @@ def refine_eval(
             def _():
                 dma(i, slot, g).wait()
 
-                win = scratch[slot, g]  # (sh, sw) int32
+                win = scratch[slot, g].astype(jnp.int32)  # (sh, sw)
                 widx = i * _G + g
                 p = params_ref[g]
                 dirx, diry = p[0], p[1]
@@ -239,7 +242,7 @@ def refine_eval(
                 (_G, 128), lambda i, *_refs: (i, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, _G, sh, sw), jnp.int32),
+                pltpu.VMEM((2, _G, sh, sw), packed.dtype),
                 pltpu.SemaphoreType.DMA((2, _G)),
             ],
         ),
@@ -273,17 +276,18 @@ def refine_corners_batch(
     h, w = image_hw or packed.shape[1:]
     k = quads.shape[1]
     clamp_r = ds + 2
-    sh = _round_up(wn + 7, 8)
+    align = 16 if packed.dtype == jnp.int16 else 8
+    sh = _round_up(wn + align - 1, align)
     sw = _round_up(wn + 127, 128)
-    # Aligned window DMAs reach at most [align8(h-wn)+sh, align128(w-wn)+sw).
-    need_h = (max(h - wn, 0) // 8) * 8 + sh
+    # Aligned window DMAs reach at most [align(h-wn)+sh, align128(w-wn)+sw).
+    need_h = (max(h - wn, 0) // align) * align + sh
     need_w = (max(w - wn, 0) // 128) * 128 + sw
     if packed.shape[1] >= need_h and packed.shape[2] >= need_w:
         pad = packed
     else:
-        hp = max(_round_up(packed.shape[1], 8), need_h)
+        hp = max(_round_up(packed.shape[1], align), need_h)
         wp = max(_round_up(packed.shape[2], 128), need_w)
-        pad = jnp.zeros((b, hp, wp), jnp.int32)
+        pad = jnp.zeros((b, hp, wp), packed.dtype)
         pad = jax.lax.dynamic_update_slice(pad, packed, (0, 0, 0))
 
     dirs = quads - centroids[:, :, None, :]

@@ -136,6 +136,8 @@ class ParityResult:
     both_found: int = 0
     tpu_errs: list = field(default_factory=list)
     oracle_errs: list = field(default_factory=list)
+    # per scene-family counts: kind -> [n_markers, oracle, tpu, both]
+    families: dict = field(default_factory=dict)
 
     @property
     def parity(self) -> float:
@@ -152,6 +154,15 @@ class ParityResult:
     def summary(self) -> dict:
         te = np.array(self.tpu_errs) if self.tpu_errs else np.zeros(1)
         oe = np.array(self.oracle_errs) if self.oracle_errs else np.zeros(1)
+        per_family = {
+            kind: {
+                "n_markers": int(n),
+                "oracle_found": int(o),
+                "tpu_found": int(t),
+                "parity": round(b / max(o, 1), 4),
+            }
+            for kind, (n, o, t, b) in sorted(self.families.items())
+        }
         return {
             "n_scenes": self.n_scenes,
             "n_markers": self.n_markers,
@@ -161,6 +172,7 @@ class ParityResult:
             "tpu_corner_mean_px": round(float(te.mean()), 3),
             "tpu_corner_p99_px": round(float(np.percentile(te, 99)), 3),
             "oracle_corner_mean_px": round(float(oe.mean()), 3),
+            "per_family": per_family,
         }
 
 
@@ -185,8 +197,10 @@ def run_parity(
         tpu = det.detect(img).markers
         orc = od.detect(img)
         res.n_scenes += 1
+        fam = res.families.setdefault(kind, np.zeros(4, np.int64))
         for mid, truth in truths:
             res.n_markers += 1
+            fam[0] += 1
             t = [
                 m
                 for m in tpu
@@ -199,10 +213,13 @@ def run_parity(
             ]
             if t:
                 res.tpu_found += 1
+                fam[2] += 1
                 res.tpu_errs.append(_corner_err(t[0].corners, truth))
             if o:
                 res.oracle_found += 1
+                fam[1] += 1
                 res.oracle_errs.append(_corner_err(o[0].corners, truth))
             if t and o:
                 res.both_found += 1
+                fam[3] += 1
     return res

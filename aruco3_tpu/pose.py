@@ -325,31 +325,157 @@ def solve_canonical_form(
 
     Returns (rotations (..., 2, 3, 3), translations (..., 2, 3),
     errors (..., 2)) — unsorted (candidate order as constructed).
+
+    TPU-native structure-of-arrays formulation: every quantity is a
+    (batch,)-shaped component vector, so the whole solve is elementwise
+    VPU math over the candidate lanes.  The earlier (batch, 3, 3)
+    matmul/`linalg.solve` form paid a ~40x layout tax (3x3 trailing dims
+    pad to (8, 128) TPU tiles) and the batched LU serialized; the math
+    here is identical (same formulas as compute_rotations /
+    compute_translation / compute_reprojection_error, which remain as the
+    reference-shaped API).
     """
     h = homography
-    jac = jnp.stack(
-        [
-            h[..., 0, 0] - h[..., 2, 0] * h[..., 0, 2],
-            h[..., 0, 1] - h[..., 2, 1] * h[..., 0, 2],
-            h[..., 1, 0] - h[..., 2, 0] * h[..., 1, 2],
-            h[..., 1, 1] - h[..., 2, 1] * h[..., 1, 2],
-        ],
-        axis=-1,
-    ).reshape(h.shape[:-2] + (2, 2))
-    t2 = jnp.stack([h[..., 0, 2], h[..., 1, 2]], axis=-1)
+    j00 = h[..., 0, 0] - h[..., 2, 0] * h[..., 0, 2]
+    j01 = h[..., 0, 1] - h[..., 2, 1] * h[..., 0, 2]
+    j10 = h[..., 1, 0] - h[..., 2, 0] * h[..., 1, 2]
+    j11 = h[..., 1, 1] - h[..., 2, 1] * h[..., 1, 2]
+    tx = h[..., 0, 2]
+    ty = h[..., 1, 2]
 
-    r1, r2 = compute_rotations(jac, t2)
-    t1 = compute_translation(object_points, normalized_image_points, r1)
-    tt2 = compute_translation(object_points, normalized_image_points, r2)
-    e1 = compute_reprojection_error(
-        r1, t1, object_points, normalized_image_points
+    # find_rotation_to_z((tx, ty, 1)) transposed, inline (pose.rs:237-267).
+    inv_norm = jax.lax.rsqrt(tx * tx + ty * ty + 1.0)
+    ax = tx * inv_norm
+    ay = ty * inv_norm
+    az = inv_norm  # z component of the normalized vector is 1/norm > 0
+    degenerate = jnp.abs(1.0 + az) < _DEGENERATE_EPS
+    d = 1.0 / jnp.where(degenerate, 1.0, 1.0 + az)
+    ax2, ay2, axay = ax * ax, ay * ay, ax * ay
+
+    def sel(val, flip_val):
+        return jnp.where(degenerate, flip_val, val)
+
+    one = jnp.ones_like(ax)
+    zero = jnp.zeros_like(ax)
+    # rv = R^T where R aligns t3 with +Z (degenerate: diag(1, 1, -1)).
+    rv00 = sel(-ax2 * d + 1.0, one)
+    rv01 = sel(-axay * d, zero)
+    rv02 = sel(ax, zero)
+    rv10 = sel(-axay * d, zero)
+    rv11 = sel(-ay2 * d + 1.0, one)
+    rv12 = sel(ay, zero)
+    rv20 = sel(-ax, zero)
+    rv21 = sel(-ay, zero)
+    rv22 = sel(1.0 - (ax2 + ay2) * d, -one)
+
+    # B = rv[:2,:2] - t2 (outer) rv[2,:2]; A = B^-1 @ J (pose.rs:169-184).
+    b00 = rv00 - tx * rv20
+    b01 = rv01 - tx * rv21
+    b10 = rv10 - ty * rv20
+    b11 = rv11 - ty * rv21
+    idet = 1.0 / (b00 * b11 - b01 * b10)
+    a00 = (b11 * j00 - b01 * j10) * idet
+    a01 = (b11 * j01 - b01 * j11) * idet
+    a10 = (b00 * j10 - b10 * j00) * idet
+    a11 = (b00 * j11 - b10 * j01) * idet
+
+    # Largest singular value of A, closed form (pose.rs:186-190).
+    ata00 = a00 * a00 + a01 * a01
+    ata01 = a00 * a10 + a01 * a11
+    ata11 = a10 * a10 + a11 * a11
+    gamma = jnp.sqrt(
+        0.5
+        * (ata00 + ata11 + jnp.sqrt((ata00 - ata11) ** 2 + 4.0 * ata01**2))
     )
-    e2 = compute_reprojection_error(
-        r2, tt2, object_points, normalized_image_points
-    )
-    rotations = jnp.stack([r1, r2], axis=-3)
-    translations = jnp.stack([t1, tt2], axis=-2)
-    errors = jnp.stack([e1, e2], axis=-1)
+    inv_g = 1.0 / gamma
+    rt00, rt01 = a00 * inv_g, a01 * inv_g
+    rt10, rt11 = a10 * inv_g, a11 * inv_g
+
+    b0 = jnp.sqrt(jnp.maximum(1.0 - rt00 * rt00 - rt10 * rt10, 0.0))
+    b1 = jnp.sqrt(jnp.maximum(1.0 - rt01 * rt01 - rt11 * rt11, 0.0))
+    sp = -rt00 * rt01 - rt10 * rt11
+    b1 = jnp.where(sp < 0.0, -b1, b1)
+
+    # Object-point / image-point components (4 correspondences).
+    ox = [object_points[..., k, 0] for k in range(4)]
+    oy = [object_points[..., k, 1] for k in range(4)]
+    oz = [object_points[..., k, 2] for k in range(4)]
+    u = [normalized_image_points[..., k, 0] for k in range(4)]
+    v = [normalized_image_points[..., k, 1] for k in range(4)]
+    # A^T A entries shared by both candidates (pose.rs:269-335): a2=-u,
+    # b2=-v.
+    sa = -(u[0] + u[1] + u[2] + u[3])
+    sb = -(v[0] + v[1] + v[2] + v[3])
+    sab = sum(u[k] * u[k] + v[k] * v[k] for k in range(4))
+
+    def candidate(sign):
+        # Columns c0=(rt00, rt10, s*b0), c1=(rt01, rt11, s*b1), c2=c0xc1;
+        # R = rv @ [c0 c1 c2] (pose.rs:203-234), unrolled.
+        c0x, c0y, c0z = rt00, rt10, sign * b0
+        c1x, c1y, c1z = rt01, rt11, sign * b1
+        c2x = c0y * c1z - c0z * c1y
+        c2y = c0z * c1x - c0x * c1z
+        c2z = c0x * c1y - c0y * c1x
+
+        def row(r0, r1, r2):
+            return (
+                r0 * c0x + r1 * c0y + r2 * c0z,
+                r0 * c1x + r1 * c1y + r2 * c1z,
+                r0 * c2x + r1 * c2y + r2 * c2z,
+            )
+
+        R00, R01, R02 = row(rv00, rv01, rv02)
+        R10, R11, R12 = row(rv10, rv11, rv12)
+        R20, R21, R22 = row(rv20, rv21, rv22)
+
+        # Least-squares translation via the closed-form 3x3 normal
+        # equations (A^T A as in compute_translation; the matrix is
+        # [[4,0,sa],[0,4,sb],[sa,sb,sab]], solved by elimination).
+        r0 = zero
+        r1 = zero
+        r2 = zero
+        rpx, rpy, rpz = [], [], []
+        for k in range(4):
+            px = R00 * ox[k] + R01 * oy[k] + R02 * oz[k]
+            py = R10 * ox[k] + R11 * oy[k] + R12 * oz[k]
+            pz = R20 * ox[k] + R21 * oy[k] + R22 * oz[k]
+            rpx.append(px)
+            rpy.append(py)
+            rpz.append(pz)
+            bxk = u[k] * pz - px
+            byk = v[k] * pz - py
+            r0 = r0 + bxk
+            r1 = r1 + byk
+            r2 = r2 - u[k] * bxk - v[k] * byk
+        denz = 4.0 * sab - sa * sa - sb * sb
+        tz = (4.0 * r2 - sa * r0 - sb * r1) / denz
+        tx_ = (r0 - sa * tz) * 0.25
+        ty_ = (r1 - sb * tz) * 0.25
+
+        # Reprojection error with the z clamp (pose.rs:337-348).
+        err = zero
+        for k in range(4):
+            z = jnp.maximum(rpz[k] + tz, _Z_CLAMP)
+            dx = (rpx[k] + tx_) / z - u[k]
+            dy = (rpy[k] + ty_) / z - v[k]
+            err = err + jnp.sqrt(dx * dx + dy * dy)
+
+        rot = jnp.stack(
+            [
+                jnp.stack([R00, R01, R02], axis=-1),
+                jnp.stack([R10, R11, R12], axis=-1),
+                jnp.stack([R20, R21, R22], axis=-1),
+            ],
+            axis=-2,
+        )
+        tr = jnp.stack([tx_, ty_, tz], axis=-1)
+        return rot, tr, err
+
+    r1_, t1_, e1_ = candidate(one)
+    r2_, t2_, e2_ = candidate(-one)
+    rotations = jnp.stack([r1_, r2_], axis=-3)
+    translations = jnp.stack([t1_, t2_], axis=-2)
+    errors = jnp.stack([e1_, e2_], axis=-1)
     return rotations, translations, errors
 
 

@@ -104,8 +104,9 @@ def test_oracle_detects_dark_background():
 # ------------------------------------------------------------- e2e parity
 def test_recall_parity_vs_reference_pipeline():
     """>=99% of the oracle's detections must also be TPU detections, over
-    a seeded randomized scene mix (plain/dark/multi/nested)."""
-    n = int(os.environ.get("ARUCO3_PARITY_SCENES", "72"))
+    a seeded randomized scene mix (plain/dark/multi/nested).  144 scenes
+    (~168 markers) so a single miss costs ~0.6%, not ~1.4%."""
+    n = int(os.environ.get("ARUCO3_PARITY_SCENES", "144"))
     res = run_parity(n_scenes=n, image_size=(320, 240), seed=11)
     s = res.summary()
     assert res.oracle_found >= 0.7 * res.n_markers, s  # oracle sane
@@ -113,3 +114,7 @@ def test_recall_parity_vs_reference_pipeline():
     # Corner agreement with ground truth: TPU at least as accurate as the
     # pixel-quantized reference pipeline on average.
     assert s["tpu_corner_mean_px"] < 2.0, s
+    # No family may silently carry the misses: each >= 0.95 with the
+    # small per-family counts (the 0.99 floor binds on the total).
+    for kind, fam in s["per_family"].items():
+        assert fam["parity"] >= 0.95, (kind, s)

@@ -76,7 +76,9 @@ def test_recall_and_corner_distribution():
     recall = hits / n
     errs = np.array(errs)
     assert recall >= 0.99, f"recall {hits}/{n}"
-    assert errs.mean() < 1.0, f"mean corner err {errs.mean():.3f}"
-    assert np.percentile(errs, 99) < 2.5, (
+    # Bounds guard the BASELINE.md corner-accuracy claims (500-scene run:
+    # mean 0.74 px, p99 1.24 px) with sampling headroom at n=216.
+    assert errs.mean() < 0.85, f"mean corner err {errs.mean():.3f}"
+    assert np.percentile(errs, 99) < 1.75, (
         f"p99 corner err {np.percentile(errs, 99):.3f}"
     )
