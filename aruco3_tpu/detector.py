@@ -246,7 +246,7 @@ def detect_batch_arrays(
         from .ops.frontend_pallas import fused_threshold_open_pool
 
         if pallas_refine:
-            coarse, packed, grey_src, src_halo_r, src_halo_c = (
+            coarse, packed, level1, grey_src, src_halo_r, src_halo_c = (
                 fused_threshold_open_pool(
                     grey,
                     cfg.threshold_window,
@@ -254,6 +254,7 @@ def detect_batch_arrays(
                     ds,
                     emit_packed=True,
                     emit_grey_canvas=True,
+                    emit_level1=True,
                 )
             )
         else:
@@ -284,6 +285,9 @@ def detect_batch_arrays(
                 params.fill_rounds,
                 params.ccl_rounds,
                 inner_ccl_rounds=params.inner_ccl_rounds,
+                inner_depths=params.inner_depths,
+                inner_flood_rounds=params.inner_flood_rounds,
+                inner_fill_rounds=params.inner_fill_rounds,
                 inner=params.max_inner_candidates > 0,
             )
         else:
@@ -329,8 +333,10 @@ def detect_batch_arrays(
         # traffic).
         s = cfg.homography_sample_size
         H, h_valid = rectify.homography_square_to_quad(quads, s)
+        # Level 1 comes precomputed from the frontend kernel (the strips
+        # were already in VMEM there); the canvas never reads the frame.
         canvas, offsets, shapes = rectify.build_packed_pyramid(
-            grey, _num_levels(h, w), skip_level0=True
+            grey, _num_levels(h, w), skip_level0=True, level1=level1
         )
         patches = rectify.warp_patches_dma(
             canvas,

@@ -50,6 +50,7 @@ def coarse_fits_vmem(hc: int, wc: int) -> bool:
     jax.jit,
     static_argnames=(
         "bg_rounds", "fill_rounds", "ccl_rounds", "inner_ccl_rounds",
+        "inner_depths", "inner_flood_rounds", "inner_fill_rounds",
         "inner", "interpret",
     ),
 )
@@ -58,14 +59,18 @@ def coarse_labels(
     bg_rounds: int,
     fill_rounds: int,
     ccl_rounds: int,
-    inner_ccl_rounds: int = 12,
+    inner_ccl_rounds: int = 4,
+    inner_depths: int = 2,
+    inner_flood_rounds: int = 3,
+    inner_fill_rounds: int = 4,
     inner: bool = True,
     interpret: bool = False,
 ):
     """-> (labels1, labels2) (B, Hc, Wc) int32 in Hc*Wc-cropped linear
     index space (sentinel Hc*Wc), exactly as segment.extract_candidates'
     label planes: labels1 = CCL over the hole-filled black mask, labels2 =
-    4-connected CCL over the unfilled, background-stripped mask."""
+    depth-peeled labelling of the non-border-connected black components
+    (segment.label_planes pass-2 semantics)."""
     b, hc, wc = coarse.shape
     if not coarse_fits_vmem(hc, wc):
         raise ValueError(
@@ -158,9 +163,12 @@ def coarse_labels(
             return jnp.maximum(jnp.maximum(up, dn), side)
 
         def flood(medium, seed, rounds, diag=True):
-            reach = jnp.minimum(medium, seed)
+            # fori_loop, not Python unrolling: ~45 scan rounds x ~300 ops
+            # of unrolled body overflow the XLA compiler (CPU backend
+            # segfaults; remote compiles take minutes).
             norm = neigh8_or if diag else neigh4_or
-            for _ in range(rounds):
+
+            def body(_, reach):
                 r = jnp.maximum(reach, norm(reach))
                 r = jnp.minimum(r, medium)
                 v = jnp.where(r == 1, 0, 1)
@@ -168,8 +176,11 @@ def coarse_labels(
                 r = jnp.minimum(medium, jnp.where(v == 0, 1, 0))
                 v = jnp.where(r == 1, 0, 1)
                 v = seg_min_rows(v, medium, jnp.int32(2))
-                reach = jnp.minimum(medium, jnp.where(v == 0, 1, 0))
-            return reach
+                return jnp.minimum(medium, jnp.where(v == 0, 1, 0))
+
+            return jax.lax.fori_loop(
+                0, rounds, body, jnp.minimum(medium, seed)
+            )
 
         border = jnp.where(
             (riota == 0)
@@ -198,11 +209,12 @@ def coarse_labels(
                 m = jnp.minimum(jnp.minimum(h, up), dn)
                 return jnp.where(mask == 1, m, sent)
 
-            for _ in range(rounds):
-                lbl = neighbor_min(lbl)
-                lbl = seg_min_lanes(lbl, mask, jnp.int32(sent))
-                lbl = seg_min_rows(lbl, mask, jnp.int32(sent))
-            return lbl
+            def body(_, l):
+                l = neighbor_min(l)
+                l = seg_min_lanes(l, mask, jnp.int32(sent))
+                return seg_min_rows(l, mask, jnp.int32(sent))
+
+            return jax.lax.fori_loop(0, rounds, body, lbl)
 
         # ---- pass 1: plain hole fill + CCL over ALL black --------------
         # (border-connected black stays in: clipped markers keep their
@@ -217,11 +229,47 @@ def coarse_labels(
         l1 = label_ccl(filled1, ccl_rounds)
         l1_ref[0] = l1
 
-        # ---- pass 2: unfilled 4-connected components minus background --
+        # ---- pass 2: depth-peeled inner labelling ----------------------
+        # (segment.label_planes semantics: peel nesting levels off the
+        # known-outside white; each level's components are labelled on
+        # their hole-FILLED plane — O(1) convergence at any ring size or
+        # rotation — then labels restrict back to the level cells.)
         if inner:
             bg = flood(m1, border, bg_rounds, diag=False)
             m2 = m1 * (1 - bg)
-            l2 = label_ccl(m2, inner_ccl_rounds)
+            white = (1 - m1) * in_img
+
+            def dil8(x):
+                return jnp.maximum(x, neigh8_or(x))
+
+            known = flood(
+                white,
+                jnp.minimum(jnp.maximum(border, dil8(bg)), white),
+                fill_rounds,
+            )
+            l2 = jnp.full((rp, cp), sent, jnp.int32)
+            remaining = m2
+            for depth in range(inner_depths):
+                level = flood(
+                    remaining,
+                    jnp.minimum(remaining, dil8(known)),
+                    inner_flood_rounds,
+                    diag=False,
+                )
+                notlev = (1 - level) * in_img
+                reach_o = flood(notlev, known, inner_fill_rounds)
+                filled = (1 - reach_o) * in_img
+                lab = label_ccl(filled, inner_ccl_rounds)
+                l2 = jnp.where(level == 1, lab, l2)
+                remaining = remaining * (1 - level)
+                if depth + 1 < inner_depths:
+                    known = flood(
+                        white,
+                        jnp.maximum(
+                            known, jnp.minimum(white, dil8(level))
+                        ),
+                        inner_flood_rounds,
+                    )
             l2_ref[0] = l2
         else:
             l2_ref[0] = jnp.full((rp, cp), sent, jnp.int32)

@@ -156,7 +156,7 @@ def _sliding_sum_rows(x, width: int, n_out: int, base: int):
     jax.jit,
     static_argnames=(
         "window", "open_radius", "ds", "interpret", "emit_packed",
-        "emit_grey_canvas",
+        "emit_grey_canvas", "emit_level1",
     ),
 )
 def fused_threshold_open_pool(
@@ -167,6 +167,7 @@ def fused_threshold_open_pool(
     interpret: bool = False,
     emit_packed: bool = False,
     emit_grey_canvas: bool = False,
+    emit_level1: bool = False,
 ):
     """(B, H, W) or (H, W) uint8 -> (black (…, H, W) bool,
     coarse (…, Hc, Wc) bool[, packed (…, Hpad, Wpad) int32]).
@@ -179,6 +180,17 @@ def fused_threshold_open_pool(
     (grey | twice-dilated-black << 8) on a zero-padded canvas sized for
     ops.refine_pallas window DMAs (rows multiple of 8 + slack, cols
     multiple of 128 + slack).
+
+    When ``emit_level1`` (with emit_packed), additionally emits pyramid
+    level 1 — the 2x2 box mean of the zero-padded image — as a
+    (B, Hp/2, Wp/2) bf16 plane, bit-identical to
+    rectify.build_packed_pyramid's level 1 (same bf16 cast points: exact
+    f32 row-pair sums, bf16 cast, 0.25-weighted column pairs in f32,
+    bf16 cast).  The strips are already in VMEM, so this replaces the
+    canvas stage's two full-resolution pooling einsums and its second
+    read of the grey frame.  Row pairs ride a small 2-hot MXU matmul,
+    column pairs the same 128-aligned banded-block scheme as the
+    threshold sums.
 
     When ``emit_grey_canvas`` (with emit_packed), additionally returns
     (src, halo, halo_c): the kernel's own zero-padded u8 input canvas —
@@ -215,7 +227,9 @@ def fused_threshold_open_pool(
     # output tile is visited by the grid, so padding is written zeros).
     wp_img = _round_up(w, 128)
     if wp_img <= 2048:
-        tw = wp_img + 128
+        # Multiple of 256 so the level-1 output tile (tw/2 lanes) stays a
+        # multiple of 128.
+        tw = _round_up(wp_img + 128, 256)
         wp = tw
     else:
         tw = 1024
@@ -238,9 +252,16 @@ def fused_threshold_open_pool(
     # columns each side of the tile.
     twb = tw + 2 * halo_c
 
-    def kernel(src_hbm, *refs):
+    def kernel(src_hbm, band_ref, *refs):
+        l1_ref = None
+        if emit_level1:
+            rowpair_ref, colpair_ref = refs[:2]
+            refs = refs[2:]
         if emit_packed:
-            rowpool_ref, packed_ref, scratch, sem = refs
+            if emit_level1:
+                rowpool_ref, packed_ref, l1_ref, scratch, sem = refs
+            else:
+                rowpool_ref, packed_ref, scratch, sem = refs
             black_ref = None
         else:
             black_ref, rowpool_ref, scratch, sem = refs
@@ -286,11 +307,37 @@ def fused_threshold_open_pool(
             return pltpu.roll(a, shift % n, axis=axis)
 
         # --- clamped box sums (zero padding makes plain sums exact) ---
-        # Column direction: width (2*window+1) sliding sum, centred via a
-        # +window lane roll (the rolled-in right-edge lanes are zero pad).
-        colsum = roll(
-            _sliding_sum_lanes(g, 2 * window + 1, roll), window, 1
-        )
+        # Column direction: width (2*window+1) CENTRED sliding sum as a
+        # banded Toeplitz matmul on the MXU.  Lane-direction sliding sums
+        # were the kernel's single priciest VPU block (~13 plane-ops of
+        # rolls+adds); as 128-lane output blocks contracted against one
+        # shared (256, 128) 0/1 band they ride the otherwise-idle MXU.
+        # Exact: g <= 255 is bf16-representable, the band is 0/1, and the
+        # f32 accumulation of <= 2*window+1 terms <= 3825 is integer-exact
+        # at any summation order.  Interior block j contracts the
+        # 128-aligned input lanes [(j-1)*128, (j+2)*128) (384 wide, so the
+        # top lanes' windows never clip) against one shared (384, 128)
+        # band.  Block 0 (lanes [0, 128)) would need negative input lanes:
+        # it is pure halo (the image starts at halo_c >= 128, downstream
+        # masks it to black) and is left zero.  The LAST block clips its
+        # input to the buffer; its lanes >= 128 - window are inexact, but
+        # every lane downstream reads (written region + morphology
+        # context, <= 128 + r2 - halo_c into that block) stays below
+        # 128 - window because halo_c >= window + r2 + 1 by construction.
+        g_bf = g.astype(jnp.bfloat16)
+        nb = twb // 128
+        blocks = [jnp.zeros((tb, 128), jnp.float32)]
+        for j in range(1, nb):
+            kin = 384 if j < nb - 1 else 256
+            blocks.append(
+                jax.lax.dot_general(
+                    g_bf[:, (j - 1) * 128 : (j - 1) * 128 + kin],
+                    band_ref[:kin],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        colsum = jnp.concatenate(blocks, axis=1)
         r2 = 2 * r + ext
         nrows = th + 2 * r2
         # Row direction: sliding sums over the strip buffer; row 0 of the
@@ -390,6 +437,30 @@ def fused_threshold_open_pool(
                 .astype(jnp.uint8)
             )
 
+        if l1_ref is not None:
+            # Pyramid level 1: bit-identical to build_packed_pyramid's
+            # chain — exact f32 row-pair sums of the bf16 image, bf16
+            # cast, then 0.25-weighted column pairs accumulated in f32,
+            # bf16 cast.  Values beyond the image are zero in the padded
+            # source, matching the XLA path's zero padding.
+            gmbf = (gmid[r2:-r2] if r2 else gmid).astype(jnp.bfloat16)
+            r1 = jax.lax.dot_general(
+                rowpair_ref[...],
+                gmbf,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)  # (th//2, twb)
+            blk = [
+                jax.lax.dot_general(
+                    r1[:, lane0 + jo * 256 : lane0 + (jo + 1) * 256],
+                    colpair_ref[...],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for jo in range(tw // 256)
+            ]
+            l1_ref[0] = jnp.concatenate(blk, axis=1).astype(jnp.bfloat16)
+
         # --- row pooling (sublane reshape-sum); column pooling is a tiny
         # XLA op outside the kernel.
         rowpool = (
@@ -407,12 +478,25 @@ def fused_threshold_open_pool(
         lambda bi, i, c: (bi, i, c),
         memory_space=pltpu.VMEM,
     )
+    if emit_level1 and not emit_packed:
+        raise ValueError("emit_level1 requires emit_packed")
     if emit_packed:
         out_specs = [pool_spec, tile_spec]
         out_shapes = [
             jax.ShapeDtypeStruct((b, hp // ds, wp), jnp.uint8),
             jax.ShapeDtypeStruct((b, hp, wp), jnp.int16),
         ]
+        if emit_level1:
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, th // 2, tw // 2),
+                    lambda bi, i, c: (bi, i, c),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            out_shapes.append(
+                jax.ShapeDtypeStruct((b, hp // 2, wp // 2), jnp.bfloat16)
+            )
     else:
         out_specs = [tile_spec, pool_spec]
         out_shapes = [
@@ -420,10 +504,47 @@ def fused_threshold_open_pool(
             jax.ShapeDtypeStruct((b, hp // ds, wp), jnp.uint8),
         ]
 
+    # Shared 0/1 Toeplitz band for the MXU column sliding sum: input lane
+    # k of a block contributes to output lane n iff |k - 128 - n| <= window.
+    band = np.zeros((384, 128), np.float32)
+    for n in range(128):
+        band[128 + n - window : 128 + n + window + 1, n] = 1.0
+    band = jnp.asarray(band, jnp.bfloat16)
+    # The last-block clip argument above needs the right halo to cover the
+    # morphology context plus the threshold window.
+    assert halo_c >= window + 2 * r + ext + 1
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(
+            (384, 128), lambda bi, i, c: (0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    operands = [src, band]
+    if emit_level1:
+        rowpair = np.zeros((th // 2, th), np.float32)
+        rowpair[np.arange(th) // 2, np.arange(th)] = 1.0
+        colpair = np.zeros((256, 128), np.float32)
+        colpair[np.arange(256), np.arange(256) // 2] = 0.25
+        in_specs += [
+            pl.BlockSpec(
+                (th // 2, th),
+                lambda bi, i, c: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (256, 128), lambda bi, i, c: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        operands += [
+            jnp.asarray(rowpair, jnp.bfloat16),
+            jnp.asarray(colpair, jnp.bfloat16),
+        ]
+
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
@@ -431,7 +552,7 @@ def fused_threshold_open_pool(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(src)
+    )(*operands)
 
     rowpool_pad = outs[0] if emit_packed else outs[1]
     # Column pooling of the per-row counts (tiny, stays in XLA).
@@ -440,13 +561,16 @@ def fused_threshold_open_pool(
     coarse = pooled * 2 >= max(ds, 2)
     if emit_packed:
         packed = outs[1]
+        extra = (outs[2],) if emit_level1 else ()
         if emit_grey_canvas:
             if squeeze:
-                return coarse[0], packed[0], src[0], halo, halo_c
-            return coarse, packed, src, halo, halo_c
+                return (coarse[0], packed[0]) + tuple(
+                    e[0] for e in extra
+                ) + (src[0], halo, halo_c)
+            return (coarse, packed) + extra + (src, halo, halo_c)
         if squeeze:
-            return coarse[0], packed[0]
-        return coarse, packed
+            return (coarse[0], packed[0]) + tuple(e[0] for e in extra)
+        return (coarse, packed) + extra
     black = outs[0][:, :h, :w] != 0
     if squeeze:
         return black[0], coarse[0]

@@ -301,7 +301,10 @@ def warp_patches_pallas(
 # Bilinear patch warp — Pallas DMA path (batched; windows never hit HBM)
 # --------------------------------------------------------------------------
 def build_packed_pyramid(
-    grey: jnp.ndarray, levels: int, skip_level0: bool = False
+    grey: jnp.ndarray,
+    levels: int,
+    skip_level0: bool = False,
+    level1: jnp.ndarray | None = None,
 ):
     """(B, H, W) u8 -> one bf16 canvas with pyramid levels stacked.
 
@@ -316,13 +319,30 @@ def build_packed_pyramid(
     bytes, so skipping its cast/pad/concat removes most of the canvas
     assembly traffic.  ``offsets[0]`` is then a dead placeholder.
 
+    With ``level1`` (requires skip_level0) the caller supplies pyramid
+    level 1 precomputed — the fused frontend kernel emits it
+    bit-identically (ops.frontend_pallas emit_level1) — so this function
+    never touches the full-resolution image: levels >= 2 pool down from
+    the supplied plane.  ``level1`` may be larger than the true level-1
+    size (zero-padded); it is cropped here.
+
     Returns (canvas (B, Hcan, Wcan) bf16, row_offsets, level_shapes).
     """
     b, h, w = grey.shape
     img = grey.astype(jnp.bfloat16)
+    if level1 is not None:
+        assert skip_level0, "level1 shortcut only valid when skipping L0"
+        ph0 = max(h + (h % 2), _WARP_WIN)
+        pw0 = max(w + (w % 2), _WARP_WIN)
+        img = level1[:, : ph0 // 2, : pw0 // 2]
     padded_levels = []
     shapes = []
-    for _ in range(levels):
+    for lvl in range(levels):
+        if lvl == 0 and level1 is not None:
+            # Level 0 is external; record its padded shape only.
+            padded_levels.append(None)
+            shapes.append((ph0, pw0))
+            continue
         hh, ww = img.shape[1], img.shape[2]
         # Even-first padding (see build_pyramid): keeps ph/pw even for any
         # level size, including odd sizes below the window (720p level 4).

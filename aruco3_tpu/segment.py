@@ -62,9 +62,15 @@ class QuadParams:
     # 0 disables the pass.
     max_inner_candidates: int = 12
     bg_rounds: int = 6  # border-connected-black flood rounds
-    # Inner components are labelled UNFILLED (their enclosing region keeps
-    # them out of the hole fill), so ring shapes need more label rounds.
-    inner_ccl_rounds: int = 12
+    # Inner-pass depth peeling (see label_planes): nesting levels after
+    # background removal, and the flood budgets of its sub-steps.  All
+    # its floods cross at most a marker-band width (seeds are dense), so
+    # small counts converge regardless of marker size or rotation.
+    inner_depths: int = 2
+    inner_flood_rounds: int = 3  # level extraction / known-white growth
+    inner_fill_rounds: int = 4  # outside-reach (enclosure) flood
+    # Label rounds for the (hole-filled, solid) inner component planes.
+    inner_ccl_rounds: int = 4
 
 
 def choose_coarse_factor(h: int, w: int, target: int = 192) -> int:
@@ -637,17 +643,73 @@ def label_planes(coarse: jnp.ndarray, params: QuadParams):
     labels = label_components(filled1, params.ccl_rounds)
 
     if params.max_inner_candidates > 0:
-        # Inner pass: every 4-connected black component that is not
-        # border-connected, labelled WITHOUT hole filling — the direct
+        # Inner pass: non-border-connected black components — the direct
         # analogue of the reference's per-component hole borders.  This
         # recovers marker rings the outer pass merged away (dark
-        # backgrounds — flat or noisy — and nested markers), at the cost
-        # of harmless duplicate/code-blob lanes (suppressed by the
-        # near-duplicate gate and the decode gates).  Unfilled rings need
-        # more label rounds to converge than solid blobs.
+        # backgrounds — flat or noisy — and nested markers).
+        #
+        # DEPTH PEELING: labelling an UNFILLED rotated ring by label
+        # propagation needs O(perimeter) rounds (labels crawl the ring's
+        # staircase — measured: a 90-cell 30deg ring is still 10
+        # fragments after 12 rounds).  Instead, peel nesting levels:
+        # grow the known-outside white inward one level at a time,
+        # extract the components adjacent to it (a flood that only
+        # crosses the ring BAND, converging in ~2 rounds at any size or
+        # angle), and label each level on its hole-FILLED plane (solid
+        # blobs converge in O(1)).  The filled blob's minimum linear
+        # index is its topmost-leftmost cell, which lies ON the ring, so
+        # restricting labels back to ring cells preserves the
+        # fit_quads root convention (label == own index).
+        hc, wc = coarse.shape
+        sent = jnp.int32(hc * wc)
+        white = ~coarse
         bg = flood_from_border(coarse, params.bg_rounds, diag=False)
         m2 = coarse & ~bg
-        labels2 = label_components(m2, params.inner_ccl_rounds)
+        # Known-outside white: border-reachable white plus white adjacent
+        # to the removed background (dark-background scenes).
+        border = jnp.zeros_like(white)
+        border = border.at[0, :].set(True)
+        border = border.at[-1, :].set(True)
+        border = border.at[:, 0].set(True)
+        border = border.at[:, -1].set(True)
+        seed0 = (border | _dilate3(bg)) & white
+        known = flood(white, seed0, params.fill_rounds)
+        # fori_loop over depths (the XLA CPU compiler chokes on the
+        # unrolled program late in long test runs; remote TPU compiles
+        # are minutes faster too).  The final iteration's known-grow is
+        # dead (known is not read afterwards), so looping it
+        # unconditionally preserves semantics exactly.
+        def peel(_, carry):
+            labels2, remaining, known = carry
+            level = flood(
+                remaining,
+                remaining & _dilate3(known),
+                params.inner_flood_rounds,
+                diag=False,
+            )
+            # Enclosure fill: cells unreachable from the known outside
+            # through non-level cells = the level components + their
+            # interiors (solid).
+            notlev = ~level
+            reach_o = flood(
+                notlev, known & notlev, params.inner_fill_rounds
+            )
+            lab = label_components(~reach_o, params.inner_ccl_rounds)
+            labels2 = jnp.where(level, lab, labels2)
+            remaining = remaining & ~level
+            known = flood(
+                white,
+                known | (_dilate3(level) & white),
+                params.inner_flood_rounds,
+            )
+            return labels2, remaining, known
+
+        labels2, _, _ = jax.lax.fori_loop(
+            0,
+            params.inner_depths,
+            peel,
+            (jnp.full_like(labels, hc * wc), m2, known),
+        )
     else:
         labels2 = jnp.full_like(labels, labels.size)
     return labels, labels2

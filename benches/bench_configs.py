@@ -239,7 +239,7 @@ def config4():
     img, n_true = _grid_frame(d, h, w, cell=330, rng=rng)
     # Batch 16: at batch 4 the per-dispatch overhead through the relay
     # dominated the measurement (the per-frame device work is ~2 ms).
-    batch = 16
+    batch = 32
     frames = jnp.asarray(np.stack([img] * batch))
     dt, out = _time(step, frames, iters=10)
     found = int(np.asarray(out)[0].sum())

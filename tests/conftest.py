@@ -4,6 +4,13 @@ Must set the env vars before jax is imported anywhere in the test process.
 """
 
 import os
+import resource
+
+# Stack-rlimit re-exec for the XLA CPU compiler's deep recursion lives in
+# _pytest_stackfix.py (must run before pytest's capture plugin swaps fds).
+assert os.environ.get("_ARUCO3_STACK_REEXEC") or (
+    resource.getrlimit(resource.RLIMIT_STACK)[0] == resource.RLIM_INFINITY
+), "run pytest from the repo root so -p _pytest_stackfix loads"
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")

@@ -60,6 +60,34 @@ def test_fused_frontend_packed_plane(shape, ds, rng):
     assert (got[:, :, w:] == 0).all()
 
 
+@pytest.mark.parametrize("shape", [(2, 240, 320), (1, 720, 1280)])
+def test_fused_frontend_level1(shape, rng):
+    """emit_level1 must reproduce build_packed_pyramid's level 1 (same
+    bf16 cast chain) so that a canvas built from it is bit-identical to
+    one built from the frame.  720p exercises odd level sizes down the
+    chain."""
+    from aruco3_tpu.detector import _num_levels
+
+    g = jnp.asarray(
+        rng.integers(0, 256, size=shape, dtype=np.uint8)
+    )
+    h, w = shape[1], shape[2]
+    out = fused_threshold_open_pool(
+        g, 7, 2, 10, interpret=True, emit_packed=True,
+        emit_grey_canvas=True, emit_level1=True,
+    )
+    l1 = out[2]
+    levels = _num_levels(h, w)
+    c_ref, o_ref, s_ref = rectify.build_packed_pyramid(
+        g, levels, skip_level0=True
+    )
+    c_new, o_new, s_new = rectify.build_packed_pyramid(
+        g, levels, skip_level0=True, level1=l1
+    )
+    assert o_ref == o_new and s_ref == s_new
+    np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_new))
+
+
 def test_fused_frontend_marker_image(rng):
     d = ARDictionary.new_from_named_dict("ARUCO_DEFAULT")
     corners = np.array([[60, 50], [260, 60], [250, 250], [55, 240]], float)
@@ -85,12 +113,7 @@ def test_coarse_labels_matches_xla(rng):
     p = segment.QuadParams()
 
     def xla_labels(c):
-        filled1 = segment.fill_holes(c, p.fill_rounds)
-        l1 = segment.label_components(filled1, p.ccl_rounds)
-        bg = segment.flood_from_border(c, p.bg_rounds, diag=False)
-        m2 = c & ~bg
-        l2 = segment.label_components(m2, p.inner_ccl_rounds)
-        return l1, l2
+        return segment.label_planes(c, p)
 
     cases = []
     # Random blobs (open-ish fields), two grid shapes.

@@ -2,6 +2,8 @@
 detection must match single-frame results, and the graft entry points must
 compile and run."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -70,12 +72,33 @@ def test_sharded_batch_is_actually_sharded(small_detector):
 
 
 def test_graft_entry_single():
-    import __graft_entry__ as ge
+    # Fresh interpreter, exactly as the driver compile-checks entry():
+    # the full 1080p detect+pose program is the biggest compile in the
+    # suite and the XLA CPU compiler can die on it late in a long
+    # single-process run (see _pytest_stackfix.py) — while always
+    # compiling fine with a process to itself.
+    import subprocess
+    import sys
 
-    fn, args = ge.entry()
-    out = jax.jit(fn)(*[jnp.asarray(a) for a in args])
-    jax.block_until_ready(out)
-    assert out["marker_valid"].shape[0] == args[0].shape[0]
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import jax.numpy as jnp\n"
+        "import __graft_entry__ as ge\n"
+        "fn, args = ge.entry()\n"
+        "out = jax.jit(fn)(*[jnp.asarray(a) for a in args])\n"
+        "jax.block_until_ready(out)\n"
+        "assert out['marker_valid'].shape[0] == args[0].shape[0]\n"
+        "print('ENTRY_OK')\n"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=1200,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "ENTRY_OK" in res.stdout
 
 
 def test_graft_entry_multichip():
