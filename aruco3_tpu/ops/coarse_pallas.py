@@ -42,7 +42,7 @@ def coarse_fits_vmem(hc: int, wc: int) -> bool:
     (segment.label_planes) instead of failing.
     """
     rp = max(_round_up(hc, 8), 8)
-    cp = max(256, _round_up(wc, 128))
+    cp = max(256, _round_up(wc + 1, 128))
     return rp * cp * 4 * 12 <= 12 * 1024 * 1024
 
 
@@ -78,28 +78,53 @@ def coarse_labels(
             "segment.label_planes (detector does this automatically)"
         )
     rp = max(_round_up(hc, 8), 8)
-    cp = max(256, _round_up(wc, 128))
+    # >=1 padding column to the right of every frame: lane rolls then can
+    # never carry image values across packed-frame boundaries (padding
+    # lanes hold 0 / sentinel in every scan state, the identities of the
+    # or- and min-propagations).
+    cp = max(256, _round_up(wc + 1, 128))
     sent = rp * cp
 
-    src = jnp.zeros((b, rp, cp), jnp.int32)
+    # The grid is tiny relative to vector width ((108, 192) grids fill
+    # two vregs of lanes), so per-op overhead dominates a one-frame-per-
+    # step kernel.  Pack F frames side by side along lanes; frame
+    # separation falls out of the per-frame wrap masks (cm = lane % cp)
+    # plus the padding-column invariant above.
+    # Measured on v5e: packing >1 frame only pays under fori_loop round
+    # bodies, which are themselves slower than unrolled rounds (13.2 ms
+    # fori+pack4 vs 11.1 ms unrolled f=1 per 1080p batch 128), and the
+    # unrolled body at packed width blows Mosaic's 16 MB scoped-vmem
+    # stack (no slot reuse across unrolled rounds).  Keep one frame per
+    # step; the machinery below stays frame-count-generic.
+    f_pack = 1
+    bp = _round_up(b, f_pack)
+    w_all = f_pack * cp
+
+    src = jnp.zeros((bp, rp, cp), jnp.int32)
     src = jax.lax.dynamic_update_slice(
         src, coarse.astype(jnp.int32), (0, 0, 0)
     )
 
     def kernel(src_ref, l1_ref, l2_ref):
-        black = src_ref[0]  # (rp, cp) int32 0/1
-        riota = jax.lax.broadcasted_iota(jnp.int32, (rp, cp), 0)
-        ciota = jax.lax.broadcasted_iota(jnp.int32, (rp, cp), 1)
+        if f_pack > 1:
+            black = jnp.concatenate(
+                [src_ref[f] for f in range(f_pack)], axis=1
+            )
+        else:
+            black = src_ref[0]  # (rp, w_all) int32 0/1
+        riota = jax.lax.broadcasted_iota(jnp.int32, (rp, w_all), 0)
+        ciota = jax.lax.broadcasted_iota(jnp.int32, (rp, w_all), 1)
+        cm = jnp.remainder(ciota, jnp.int32(cp))  # per-frame lane index
         in_img = jnp.where(
-            (riota < hc) & (ciota < wc), jnp.int32(1), jnp.int32(0)
+            (riota < hc) & (cm < wc), jnp.int32(1), jnp.int32(0)
         )
 
         def roll(a, s):
-            return pltpu.roll(a, s % cp, axis=1)
+            return pltpu.roll(a, s % w_all, axis=1)
 
         def shift_rows(a, s, fill):
             # out[i] = a[i - s] for s > 0 (down), a[i + |s|] for s < 0.
-            f = jnp.full((abs(s), cp), fill, jnp.int32)
+            f = jnp.full((abs(s), w_all), fill, jnp.int32)
             if s > 0:
                 return jnp.concatenate([f, a[: rp - s]], axis=0)
             return jnp.concatenate([a[-s:], f], axis=0)
@@ -111,9 +136,12 @@ def coarse_labels(
             bb = bf
             shift = 1
             while shift < cp:
+                # Wrap masks are per-frame (cm): lanes near a frame's
+                # left/right edge must not receive the neighbouring
+                # packed frame's (or the array wrap's) values.
                 sl = roll(lf, shift)
                 sb = roll(bf, shift)
-                wrap = ciota < shift
+                wrap = cm < shift
                 sl = jnp.where(wrap, s_val, sl)
                 sb = jnp.maximum(sb, wrap.astype(jnp.int32))
                 lf = jnp.where(bf == 1, lf, jnp.minimum(lf, sl))
@@ -121,7 +149,7 @@ def coarse_labels(
 
                 sl = roll(lb, -shift)
                 sb = roll(bb, -shift)
-                wrap = ciota >= cp - shift
+                wrap = cm >= cp - shift
                 sl = jnp.where(wrap, s_val, sl)
                 sb = jnp.maximum(sb, wrap.astype(jnp.int32))
                 lb = jnp.where(bb == 1, lb, jnp.minimum(lb, sl))
@@ -162,13 +190,27 @@ def coarse_labels(
             dn = shift_rows(x, -1, 0)
             return jnp.maximum(jnp.maximum(up, dn), side)
 
+        def rounds_loop(body, init, rounds):
+            # On the TPU the rounds are Python-unrolled: a fori_loop
+            # measured ~30-60% slower per round (loop overhead is not
+            # amortized by packing more frames per step — measured 13.2
+            # vs 11.1 ms/batch-128 even at 4 packed frames).  Interpret
+            # mode (CPU tests) lowers through the XLA CPU backend, where
+            # ~45 unrolled rounds x ~300 ops overflow the compiler
+            # (segfault) — use fori_loop there; semantics are identical.
+            if interpret:
+                return jax.lax.fori_loop(
+                    0, rounds, lambda _, c: body(c), init
+                )
+            x = init
+            for _ in range(rounds):
+                x = body(x)
+            return x
+
         def flood(medium, seed, rounds, diag=True):
-            # fori_loop, not Python unrolling: ~45 scan rounds x ~300 ops
-            # of unrolled body overflow the XLA compiler (CPU backend
-            # segfaults; remote compiles take minutes).
             norm = neigh8_or if diag else neigh4_or
 
-            def body(_, reach):
+            def body(reach):
                 r = jnp.maximum(reach, norm(reach))
                 r = jnp.minimum(r, medium)
                 v = jnp.where(r == 1, 0, 1)
@@ -178,43 +220,43 @@ def coarse_labels(
                 v = seg_min_rows(v, medium, jnp.int32(2))
                 return jnp.minimum(medium, jnp.where(v == 0, 1, 0))
 
-            return jax.lax.fori_loop(
-                0, rounds, body, jnp.minimum(medium, seed)
-            )
+            return rounds_loop(body, jnp.minimum(medium, seed), rounds)
 
         border = jnp.where(
             (riota == 0)
             | (riota == hc - 1)
-            | (ciota == 0)
-            | (ciota == wc - 1),
+            | (cm == 0)
+            | (cm == wc - 1),
             jnp.int32(1),
             jnp.int32(0),
         )
 
         def label_ccl(mask, rounds):
             # 4-connected (black components; see segment.label_components).
-            idx = riota * cp + ciota
+            # Per-frame-local linear indices (riota*cp + cm): identical in
+            # every packed frame, exactly segment.label_components' space.
+            idx = riota * cp + cm
             lbl = jnp.where(mask == 1, idx, sent)
 
             def neighbor_min(l):
                 h = jnp.minimum(
                     jnp.minimum(roll(l, 1), l), roll(l, -1)
                 )
-                h = jnp.where(ciota == 0, jnp.minimum(l, roll(l, -1)), h)
+                h = jnp.where(cm == 0, jnp.minimum(l, roll(l, -1)), h)
                 h = jnp.where(
-                    ciota == cp - 1, jnp.minimum(l, roll(l, 1)), h
+                    cm == cp - 1, jnp.minimum(l, roll(l, 1)), h
                 )
                 up = shift_rows(l, 1, sent)
                 dn = shift_rows(l, -1, sent)
                 m = jnp.minimum(jnp.minimum(h, up), dn)
                 return jnp.where(mask == 1, m, sent)
 
-            def body(_, l):
+            def body(l):
                 l = neighbor_min(l)
                 l = seg_min_lanes(l, mask, jnp.int32(sent))
                 return seg_min_rows(l, mask, jnp.int32(sent))
 
-            return jax.lax.fori_loop(0, rounds, body, lbl)
+            return rounds_loop(body, lbl, rounds)
 
         # ---- pass 1: plain hole fill + CCL over ALL black --------------
         # (border-connected black stays in: clipped markers keep their
@@ -227,7 +269,8 @@ def coarse_labels(
             jnp.maximum(m1, (1 - white_reach) * not_m1), in_img
         )
         l1 = label_ccl(filled1, ccl_rounds)
-        l1_ref[0] = l1
+        for f in range(f_pack):
+            l1_ref[f] = l1[:, f * cp : (f + 1) * cp]
 
         # ---- pass 2: depth-peeled inner labelling ----------------------
         # (segment.label_planes semantics: peel nesting levels off the
@@ -247,9 +290,11 @@ def coarse_labels(
                 jnp.minimum(jnp.maximum(border, dil8(bg)), white),
                 fill_rounds,
             )
-            l2 = jnp.full((rp, cp), sent, jnp.int32)
+            l2 = jnp.full((rp, w_all), sent, jnp.int32)
             remaining = m2
-            for depth in range(inner_depths):
+
+            def peel(carry):
+                l2, remaining, known = carry
                 level = flood(
                     remaining,
                     jnp.minimum(remaining, dil8(known)),
@@ -262,40 +307,49 @@ def coarse_labels(
                 lab = label_ccl(filled, inner_ccl_rounds)
                 l2 = jnp.where(level == 1, lab, l2)
                 remaining = remaining * (1 - level)
-                if depth + 1 < inner_depths:
-                    known = flood(
-                        white,
-                        jnp.maximum(
-                            known, jnp.minimum(white, dil8(level))
-                        ),
-                        inner_flood_rounds,
-                    )
-            l2_ref[0] = l2
-        else:
-            l2_ref[0] = jnp.full((rp, cp), sent, jnp.int32)
+                known = flood(
+                    white,
+                    jnp.maximum(known, jnp.minimum(white, dil8(level))),
+                    inner_flood_rounds,
+                )
+                return l2, remaining, known
 
+            carry = (l2, remaining, known)
+            for depth in range(inner_depths):
+                if depth == 0:
+                    # Depth 0 is nonempty in any scene with candidates.
+                    carry = peel(carry)
+                else:
+                    # Deeper levels exist only for nested markers; skip
+                    # their ~11 scan rounds at runtime when the peel is
+                    # already exhausted.  An empty `remaining` makes
+                    # peel() a no-op, so the skip is exact.
+                    carry = jax.lax.cond(
+                        jnp.any(carry[1] == 1), peel, lambda c: c, carry
+                    )
+            l2 = carry[0]
+            for f in range(f_pack):
+                l2_ref[f] = l2[:, f * cp : (f + 1) * cp]
+        else:
+            for f in range(f_pack):
+                l2_ref[f] = jnp.full((rp, cp), sent, jnp.int32)
+
+    spec = pl.BlockSpec(
+        (f_pack, rp, cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
     l1p, l2p = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, rp, cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            )
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, rp, cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, rp, cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        grid=(bp // f_pack,),
+        in_specs=[spec],
+        out_specs=[spec, spec],
         out_shape=[
-            jax.ShapeDtypeStruct((b, rp, cp), jnp.int32),
-            jax.ShapeDtypeStruct((b, rp, cp), jnp.int32),
+            jax.ShapeDtypeStruct((bp, rp, cp), jnp.int32),
+            jax.ShapeDtypeStruct((bp, rp, cp), jnp.int32),
         ],
         interpret=interpret,
     )(src)
+    l1p = l1p[:b]
+    l2p = l2p[:b]
 
     # Remap padded linear indices (row*cp + col) to cropped (row*wc + col);
     # cp is a compile-time constant so the div/mod strength-reduce.

@@ -680,6 +680,14 @@ def label_planes(coarse: jnp.ndarray, params: QuadParams):
         # dead (known is not read afterwards), so looping it
         # unconditionally preserves semantics exactly.
         def peel(_, carry):
+            # Runtime-skip exhausted depths (deeper levels exist only for
+            # nested markers): an empty `remaining` makes the body an
+            # exact no-op, so the skip never changes the labels.
+            return jax.lax.cond(
+                jnp.any(carry[1]), _peel_body, lambda c: c, carry
+            )
+
+        def _peel_body(carry):
             labels2, remaining, known = carry
             level = flood(
                 remaining,

@@ -35,3 +35,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The XLA CPU compiler segfaults on this package's biggest programs
+    (full detector pipeline) once enough executables have accumulated in
+    the process — fresh processes always compile them fine, and the
+    crash point moves with the order of big compiles.  Freeing the
+    compilation caches between modules keeps the process young at the
+    cost of some recompilation."""
+    yield
+    jax.clear_caches()

@@ -44,16 +44,23 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
     def fn(images):
         acc = []
         grey = frontend.rgb_to_luma_u8(images)
-        coarse, packed, grey_src, halo_r, halo_c = fused_threshold_open_pool(
-            grey, cfg.threshold_window, params.open_radius, ds,
-            emit_packed=True, emit_grey_canvas=True,
+        coarse, packed, level1, grey_src, halo_r, halo_c = (
+            fused_threshold_open_pool(
+                grey, cfg.threshold_window, params.open_radius, ds,
+                emit_packed=True, emit_grey_canvas=True, emit_level1=True,
+            )
         )
         acc.append(jnp.sum(coarse.astype(jnp.int32)))
         acc.append(jnp.sum(packed[:, ::97, ::97]))
         if upto >= 1:
             labels1, labels2 = coarse_labels(
                 coarse, params.bg_rounds, params.fill_rounds,
-                params.ccl_rounds, inner=params.max_inner_candidates > 0,
+                params.ccl_rounds,
+                inner_ccl_rounds=params.inner_ccl_rounds,
+                inner_depths=params.inner_depths,
+                inner_flood_rounds=params.inner_flood_rounds,
+                inner_fill_rounds=params.inner_fill_rounds,
+                inner=params.max_inner_candidates > 0,
             )
             acc.append(jnp.sum(labels1[:, ::7, ::7]))
             acc.append(jnp.sum(labels2[:, ::7, ::7]))
@@ -87,7 +94,7 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
             acc.append(jnp.sum(H))
         if upto >= 7:
             canvas, offsets, shapes = rectify.build_packed_pyramid(
-                grey, _num_levels(h, w), skip_level0=True
+                grey, _num_levels(h, w), skip_level0=True, level1=level1
             )
             acc.append(jnp.sum(canvas[:, ::311, ::311].astype(jnp.float32)))
         if upto >= 8:
