@@ -743,6 +743,27 @@ def candidates_from_labels(
         fit2 = fit_quads(labels2, ds, params, k=k2)
         overflow = overflow + jnp.maximum(fit2["qualifying"] - k2, 0)
 
+        # Every free-standing marker ring is also a non-border-connected
+        # component, so pass 2 re-fits what pass 1 already holds.  Kill
+        # those duplicates BEFORE the merge: the freed lanes go to real
+        # candidates, and the refine/warp kernels skip the dead lanes'
+        # window DMAs and compute.  Same-component fits agree within the
+        # pooling quantum (cyclic-min Chebyshev corner distance <= 2*ds),
+        # while a genuinely nested marker that could survive the min-edge
+        # gate (side >= 0.05*min(h,w) for its INNER marker, so >= 3x that
+        # for the outer) sits far beyond it at the auto coarse factor
+        # (2*ds ~ 0.01*min(h,w)).  The post-refine near-duplicate gate in
+        # finalize_quads still runs for everything that survives.
+        best = jnp.full((k2, k1), jnp.inf)
+        for s in range(4):
+            q2s = jnp.roll(fit2["quads"], s, axis=1)
+            dist = jnp.abs(
+                q2s[:, None] - fit["quads"][None]
+            ).max(axis=(2, 3))
+            best = jnp.minimum(best, dist)
+        dup = (best <= 2.0 * ds) & fit["valid"][None, :]
+        fit2["valid"] = fit2["valid"] & ~jnp.any(dup, axis=1)
+
         # Merge to K lanes with strict outer-pass priority: inner
         # candidates only fill lanes the outer pass left invalid (inner
         # markers exist precisely where the outer pass cannot see them).
