@@ -73,6 +73,12 @@ class QuadParams:
     inner_ccl_rounds: int = 4
 
 
+# Pre-merge inner-duplicate gate, in coarse-cell units (see
+# candidates_from_labels).  Module-level so diagnostics can disable it
+# (set < 0) without editing the merge.
+INNER_DUP_CHEBYSHEV_DS = 2.0
+
+
 def choose_coarse_factor(h: int, w: int, target: int = 192) -> int:
     """Pick a pooling factor so the coarse grid's long side is ~target."""
     return max(1, int(np.ceil(max(h, w) / target)))
@@ -761,25 +767,30 @@ def candidates_from_labels(
                 q2s[:, None] - fit["quads"][None]
             ).max(axis=(2, 3))
             best = jnp.minimum(best, dist)
-        dup = (best <= 2.0 * ds) & fit["valid"][None, :]
+        dup = (best <= INNER_DUP_CHEBYSHEV_DS * ds) & fit["valid"][None, :]
         fit2["valid"] = fit2["valid"] & ~jnp.any(dup, axis=1)
 
-        # Merge to K lanes with strict outer-pass priority: inner
-        # candidates only fill lanes the outer pass left invalid (inner
-        # markers exist precisely where the outer pass cannot see them).
+        # Merge to K lanes by SIZE priority across both passes, outer
+        # winning exact ties.  Strict outer-pass priority starved dark
+        # scenes: a noisy dark field yields 30+ tiny valid outer noise
+        # components which consumed every lane while the inner pass held
+        # the (only) correct marker fit — measured 3/67 dark-family
+        # parity misses at 320x240 from exactly this.  Size priority is
+        # safe now that same-marker inner duplicates die before the
+        # merge: surviving inner lanes are genuine hole-border
+        # candidates, and any real marker dwarfs noise specks.
         cat = lambda a, b: jnp.concatenate([a, b], axis=0)  # noqa: E731
         quads_c = cat(fit["quads"], fit2["quads"])
         valid_c = cat(fit["valid"], fit2["valid"])
         sizes_c = cat(fit["sizes"], fit2["sizes"])
         cents_c = cat(fit["centroids"], fit2["centroids"])
-        p = labels.size
         prio = jnp.concatenate(
             [
-                jnp.full((k1,), p + 1, dtype=jnp.int32),
+                jnp.ones((k1,), dtype=jnp.int32),
                 jnp.zeros((k2,), dtype=jnp.int32),
             ]
         )
-        key = jnp.where(valid_c, sizes_c + 1 + prio, 0)
+        key = jnp.where(valid_c, sizes_c * 2 + prio + 1, 0)
         _, sel = jax.lax.top_k(key, k1)
         quads = jnp.take(quads_c, sel, axis=0)
         valid = jnp.take(valid_c, sel, axis=0)
