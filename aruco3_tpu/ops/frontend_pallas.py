@@ -128,6 +128,75 @@ def _win_lanes_multi(x, widths, op, roll):
     return out
 
 
+def _bits_rsh(wp, d: int):
+    """Shift a row-bit-packed plane DOWN d rows: output bit k = input bit
+    k + d (k = row index; word i holds rows 32i..32i+31 in bits 0..31).
+
+    Bits shifted in past the last word are zero.  ``d`` in [0, 31].
+    """
+    if d == 0:
+        return wp
+    nxt = jnp.concatenate([wp[1:], jnp.zeros_like(wp[:1])], axis=0)
+    # >> on int32 is arithmetic; mask the sign-extended high bits before
+    # OR-ing in the next word's low bits.
+    lo = (wp >> d) & ((1 << (32 - d)) - 1)
+    return lo | (nxt << (32 - d))
+
+
+def _win_bits(wp, widths, op):
+    """Sliding AND/OR windows over packed rows: out[w] bit k = op over
+    bits k..k+w-1.  Same shared power-of-two doubling as _win_rows_multi,
+    but each "plane op" touches 1/32 the rows (bitwise on int32 words).
+    """
+    pows = {1: wp}
+    p = 1
+    while 2 * p <= max(widths):
+        pows[2 * p] = op(pows[p], _bits_rsh(pows[p], p))
+        p *= 2
+    out = {}
+    for w in widths:
+        res = None
+        off = 0
+        rem = w
+        while rem:
+            p = 1 << (rem.bit_length() - 1)
+            t = pows[p] if off == 0 else _bits_rsh(pows[p], off)
+            res = t if res is None else op(res, t)
+            off += p
+            rem -= p
+        out[w] = res
+    return out
+
+
+def _unpack_bits_halving(wp):
+    """(NW<=8, L) int32 words -> (256, L) int32 0/1 planes by log-halving:
+    each level splits every row's bit-range in two (low half rows first),
+    so 5 levels turn 32-bit words into single-bit rows.  ~500 row-ops
+    total vs ~3000 for per-bit extraction.  Row order is the halving
+    order; _unpack_row_order gives (word, bit) per output row so selector
+    matmuls can address it.
+    """
+    p = wp
+    a = p & 0xFFFF
+    b = (p >> 16) & 0xFFFF  # mask: >> is arithmetic on int32
+    p = jnp.concatenate([a, b], axis=0)
+    for half, mask in ((8, 0xFF), (4, 0xF), (2, 0x3), (1, 0x1)):
+        a = p & mask
+        b = p >> half  # values are non-negative < 2^(2*half)
+        p = jnp.concatenate([a, b], axis=0)
+    return p
+
+
+def _unpack_row_order():
+    """(word, bit) carried by each of _unpack_bits_halving's 256 rows."""
+    rows = [(i, 0, 32) for i in range(8)]
+    for _ in range(5):
+        rows = [(w, b, n // 2) for (w, b, n) in rows] + [
+            (w, b + n // 2, n // 2) for (w, b, n) in rows
+        ]
+    return [(w, b) for (w, b, _) in rows]
+
+
 def _sliding_sum_rows(x, width: int, n_out: int, base: int):
     """Row-direction running sums via static shrinking slices (sublane
     rolls lower pathologically in Mosaic for int32).
@@ -253,6 +322,10 @@ def fused_threshold_open_pool(
     twb = tw + 2 * halo_c
 
     def kernel(src_hbm, band_ref, *refs):
+        wpack_ref = usel_ref = vsel_ref = None
+        if emit_packed:
+            wpack_ref, usel_ref, vsel_ref = refs[:3]
+            refs = refs[3:]
         l1_ref = None
         if emit_level1:
             rowpair_ref, colpair_ref = refs[:2]
@@ -381,56 +454,107 @@ def fused_threshold_open_pool(
 
         # --- opening + near plane as SEPARABLE min/max windows.
         # r rounds of 3x3 erosion == one (2r+1)-square erosion; likewise
-        # dilation.  Rows use shrinking static slices (sublane rolls on
-        # int32/f32 compile to a pathological Mosaic path), lanes use
-        # rolls; the opened mask (width 2r+1) and the near plane (width
-        # 2(r+ext)+1 — dilation of the SAME eroded mask) share one set of
-        # power-of-two partials, cutting the VPU op count vs iterated
-        # 3x3 rounds.  Boundary semantics match segment.open_mask: the
+        # dilation.  Boundary semantics match segment.open_mask: the
         # erosion sees black outside the image; the eroded mask is
         # cleared outside the image before any dilation.
         we = 2 * r + 1
         w9 = 2 * (r + ext) + 1
-        if r:
-            er = _win_rows_multi(black, (we,), jnp.minimum)[we]
-            ero = _win_lanes_multi(er, (we,), jnp.minimum, roll)[we]
-            ero = ero * inside_i[r:-r]
-        else:
-            ero = black * inside_i
-        if ext:
-            lan = _win_lanes_multi(ero, (we, w9), jnp.maximum, roll)
-            op5 = _win_rows_multi(lan[we], (we,), jnp.maximum)[we]
-            op5 = op5 if ext == 0 else op5[ext:-ext]
-            opened_mid = op5 * inside_i[r2:-r2]
-            near = (
-                _win_rows_multi(lan[w9], (w9,), jnp.maximum)[w9]
-                * inside_i[r2:-r2]
-            )  # (th, twb)
-        elif r:
-            lan = _win_lanes_multi(ero, (we,), jnp.maximum, roll)[we]
-            opened_mid = (
-                _win_rows_multi(lan, (we,), jnp.maximum)[we]
-                * (inside_i[r2:-r2] if r2 else inside_i)
-            )
-            near = None
-        else:
-            opened_mid = ero
-            near = None
-        central = opened_mid  # (th, twb)
         lane0 = halo_c
         if packed_ref is not None:
+            # BIT-PACKED morphology: the mask planes are packed 32 rows
+            # per int32 word (two MXU matmuls against power-of-two
+            # weights, f32-exact per 16-bit half), so every erosion/
+            # dilation partial is a bitwise shift/AND/OR on a (8, twb)
+            # word plane — 1/32 the rows of the f32 full-plane version.
+            # Only the two consumed products are rebuilt at full rows:
+            # the near plane via a one-hot selector matmul over the
+            # log-halving unpack, and the ds-row pool counts via a
+            # ds-hot selector matmul over the opened bits (counts <= ds
+            # are f32/bf16-exact).  Row bookkeeping: black-plane row t
+            # packs to bit t; a w-wide AND/OR window built from forward
+            # shifts lands at its STARTING bit, so centred results sit
+            # at a fixed negative offset which the selector matrices
+            # bake in (derivation in the host-code comment below).
+            AND, OR = jnp.bitwise_and, jnp.bitwise_or
+            blk_bf = black.astype(jnp.bfloat16)
+            ins_bf = inside_i.astype(jnp.bfloat16)
+
+            def pack_words(plane_bf):
+                pw = jax.lax.dot_general(
+                    wpack_ref[...],
+                    plane_bf,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (16, twb): rows 0-7 = low 16 bits, 8-15 = high
+                return pw[:8].astype(jnp.int32) | (
+                    pw[8:16].astype(jnp.int32) << 16
+                )
+
+            blackw = pack_words(blk_bf)
+            insw = pack_words(ins_bf)
+            if r:
+                erw = _win_bits(blackw, (we,), AND)[we]
+                erw = _win_lanes_multi(erw, (we,), AND, roll)[we]
+                erow = AND(erw, _bits_rsh(insw, r))
+            else:
+                erow = AND(blackw, insw)
+            lanw = _win_lanes_multi(erow, (we, w9), OR, roll)
+            opw = AND(
+                _win_bits(lanw[we], (we,), OR)[we],
+                _bits_rsh(insw, 2 * r),
+            )
+            nearw = AND(
+                _win_bits(lanw[w9], (w9,), OR)[w9],
+                _bits_rsh(insw, r2),
+            )
+            s_open = (
+                _unpack_bits_halving(opw)
+                .astype(jnp.float32)
+                .astype(jnp.bfloat16)
+            )
+            s_near = (
+                _unpack_bits_halving(nearw)
+                .astype(jnp.float32)
+                .astype(jnp.bfloat16)
+            )
+            rowpool = jax.lax.dot_general(
+                vsel_ref[...],
+                s_open,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (th // ds, twb) exact black counts per ds-row group
+            near_full = jax.lax.dot_general(
+                usel_ref[...],
+                s_near,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (th, twb) 0/1
             # The batched detector never reads the full-res black mask
             # (the packed plane replaces it) — skip its cast+write.
             # int16 (values <= 511 = grey | near<<8) halves the write
             # traffic of the pipeline's largest intermediate.
             gm = gmid[r2:-r2] if r2 else gmid
-            packed = (gm + near * 256.0) * inside_i[r2:-r2]
+            packed = (gm + near_full * 256.0) * inside_i[r2:-r2]
             packed_ref[0] = (
                 packed[:, lane0 : lane0 + tw]
                 .astype(jnp.int32)
                 .astype(jnp.int16)
             )
         else:
+            # Full-plane f32 path (black-mask output; ext == 0 here).
+            # Rows use shrinking static slices (sublane rolls on
+            # int32/f32 compile to a pathological Mosaic path), lanes
+            # use rolls; shared power-of-two partials.
+            if r:
+                er = _win_rows_multi(black, (we,), jnp.minimum)[we]
+                ero = _win_lanes_multi(er, (we,), jnp.minimum, roll)[we]
+                ero = ero * inside_i[r:-r]
+                lan = _win_lanes_multi(ero, (we,), jnp.maximum, roll)[we]
+                central = _win_rows_multi(lan, (we,), jnp.maximum)[we] * (
+                    inside_i[r2:-r2] if r2 else inside_i
+                )
+            else:
+                central = black * inside_i
             black_ref[0] = (
                 central[:, lane0 : lane0 + tw]
                 .astype(jnp.int32)
@@ -461,13 +585,17 @@ def fused_threshold_open_pool(
             ]
             l1_ref[0] = jnp.concatenate(blk, axis=1).astype(jnp.bfloat16)
 
-        # --- row pooling (sublane reshape-sum); column pooling is a tiny
-        # XLA op outside the kernel.
-        rowpool = (
-            central[:, lane0 : lane0 + tw]
-            .reshape(th // ds, ds, tw)
-            .sum(axis=1)
-        )
+        # --- row pooling; column pooling is a tiny XLA op outside the
+        # kernel.  Packed path: the ds-hot selector matmul above already
+        # produced the counts; else a sublane reshape-sum of the mask.
+        if packed_ref is None:
+            rowpool = (
+                central[:, lane0 : lane0 + tw]
+                .reshape(th // ds, ds, tw)
+                .sum(axis=1)
+            )
+        else:
+            rowpool = rowpool[:, lane0 : lane0 + tw]
         rowpool_ref[0] = rowpool.astype(jnp.int32).astype(jnp.uint8)
 
     tile_spec = pl.BlockSpec(
@@ -521,6 +649,60 @@ def fused_threshold_open_pool(
         ),
     ]
     operands = [src, band]
+    if emit_packed:
+        # Constants for the bit-packed morphology (see kernel):
+        #  wpack (16, nrows): rows i / 8+i pack black-plane rows
+        #    32i+j (j<16) / 32i+16+j into the low/high 16 bits of word i
+        #    via 2^j weights — bf16-exact (powers of two), f32-exact
+        #    accumulation (sums < 2^16).
+        #  usel (th, 256): one-hot over the halving-unpack rows.  Bit
+        #    offsets: black-plane row p = image row p - r2; forward
+        #    windows put ero-start at bit p-r, opened (dilate we more)
+        #    at bit p-2r, near (dilate w9) at bit p-r2.  So near for
+        #    image row t (black row t+r2) is bit t -> usel row t picks
+        #    bit t.
+        #  vsel (th//ds, 256): ds-hot; opened for image row t is bit
+        #    t+ext, so pool row k sums bits [k*ds+ext, (k+1)*ds+ext).
+        #    Verified bit-for-bit against the XLA path in tests.
+        r2h = 2 * r + ext
+        nrows_h = th + 2 * r2h
+        nwords = -(-nrows_h // 32)
+        assert nwords <= 8, "strip too tall for 8-word bit packing"
+        wpack = np.zeros((16, nrows_h), np.float32)
+        for i in range(nwords):
+            for j in range(16):
+                if 32 * i + j < nrows_h:
+                    wpack[i, 32 * i + j] = float(1 << j)
+                if 32 * i + 16 + j < nrows_h:
+                    wpack[8 + i, 32 * i + 16 + j] = float(1 << j)
+        bitpos = {wb: k for k, wb in enumerate(_unpack_row_order())}
+        usel = np.zeros((th, 256), np.float32)
+        for t in range(th):
+            usel[t, bitpos[(t // 32, t % 32)]] = 1.0
+        vsel = np.zeros((th // ds, 256), np.float32)
+        for k in range(th // ds):
+            for t in range(k * ds + ext, (k + 1) * ds + ext):
+                vsel[k, bitpos[(t // 32, t % 32)]] = 1.0
+        in_specs += [
+            pl.BlockSpec(
+                (16, nrows_h),
+                lambda bi, i, c: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (th, 256), lambda bi, i, c: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (th // ds, 256),
+                lambda bi, i, c: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        operands += [
+            jnp.asarray(wpack, jnp.bfloat16),
+            jnp.asarray(usel, jnp.bfloat16),
+            jnp.asarray(vsel, jnp.bfloat16),
+        ]
     if emit_level1:
         rowpair = np.zeros((th // 2, th), np.float32)
         rowpair[np.arange(th) // 2, np.arange(th)] = 1.0
