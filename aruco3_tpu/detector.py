@@ -335,8 +335,16 @@ def detect_batch_arrays(
         H, h_valid = rectify.homography_square_to_quad(quads, s)
         # Level 1 comes precomputed from the frontend kernel (the strips
         # were already in VMEM there); the canvas never reads the frame.
+        # When the plane's padding admits the aligned window DMAs
+        # (always at production geometries), level-1 windows read it
+        # directly and the canvas starts at level 2 — assembly then
+        # never touches a full- or half-resolution plane.
+        nlv = _num_levels(h, w)
+        l1_ok = rectify.l1_direct_ok(
+            level1.shape[1:], rectify.pyramid_level_shapes(h, w, nlv), nlv
+        )
         canvas, offsets, shapes = rectify.build_packed_pyramid(
-            grey, _num_levels(h, w), skip_level0=True, level1=level1
+            grey, nlv, skip_level0=True, level1=level1, skip_level1=l1_ok
         )
         patches = rectify.warp_patches_dma(
             canvas,
@@ -349,6 +357,7 @@ def detect_batch_arrays(
             src=grey_src,
             src_halo=(src_halo_r, src_halo_c),
             image_hw=(h, w),
+            l1_plane=level1 if l1_ok else None,
         )
 
         out = jax.vmap(

@@ -7,13 +7,19 @@ DMAs each candidate's window, builds the separable bilinear weights in
 VMEM, and runs the two contractions on the MXU — windows and weights
 never touch HBM; only the (S^2,) sample vector per candidate does.
 
-Two window sources:
-  * pyramid LEVEL 0 windows come straight from the frontend's padded u8
-    grey canvas (ops.frontend_pallas emit_grey_canvas) — the bf16 canvas
-    therefore never carries a full-resolution level, killing the largest
-    HBM cost of canvas assembly;
-  * levels >= 1 come from the packed bf16 pyramid canvas
-    (rectify.build_packed_pyramid with skip_level0).
+Three window sources (selected per window by ``srcsel``):
+  * 1: pyramid LEVEL 0 windows come straight from the frontend's padded
+    u8 grey canvas (ops.frontend_pallas emit_grey_canvas) — the bf16
+    canvas therefore never carries a full-resolution level;
+  * 2: LEVEL 1 windows come straight from the frontend's emitted bf16
+    level-1 plane (emit_level1) when its padding admits the aligned
+    DMAs — the canvas then starts at level 2 and canvas assembly never
+    touches a full- or half-resolution plane;
+  * 0: remaining levels come from the packed bf16 pyramid canvas
+    (rectify.build_packed_pyramid).
+Level-1 window bases may be clamped to keep the 256-lane buffer in
+bounds, so the 64-lane window can start at offset 0, 64 OR 128 in the
+buffer (``half`` in {0, 1, 2}).
 
 Window geometry: the bf16 DMA reads an (80, 256)-aligned block (64-row
 window + <=15-row alignment); the u8 DMA reads (72, 256) (<=7-row
@@ -47,11 +53,12 @@ _SW = 256  # buffer lanes: 128-lane span + <=64 alignment + pad to 128
 def warp_gather_eval(
     canvas: jnp.ndarray,  # (B, Hc, Wc) bfloat16, Hc % 16 == 0, Wc % 128 == 0
     src: jnp.ndarray,  # (B, Hs, Ws) uint8 padded grey (level-0 source)
+    l1: jnp.ndarray,  # (B, H1, W1) bfloat16 level-1 plane (source 2)
     bidx: jnp.ndarray,  # (N,) int32 frame index
-    by: jnp.ndarray,  # (N,) int32 row base (canvas: %16; src: %8)
+    by: jnp.ndarray,  # (N,) int32 row base (bf16: %16; src: %8)
     bx: jnp.ndarray,  # (N,) int32 lane base (multiple of 128)
-    half: jnp.ndarray,  # (N,) int32 in {0, 1}: window starts at bx + 64*half
-    lvl0: jnp.ndarray,  # (N,) int32 in {0, 1}: 1 = window reads src (u8)
+    half: jnp.ndarray,  # (N,) int32 in {0,1,2}: window starts at bx+64*half
+    srcsel: jnp.ndarray,  # (N,) int32: 0 = canvas, 1 = src (u8), 2 = l1
     valid: jnp.ndarray,  # (N,) bool — invalid windows skip their DMA
     ux: jnp.ndarray,  # (N, S2) f32 sample x relative to the 128-lane window
     uy: jnp.ndarray,  # (N, S2) f32 sample y relative to row base
@@ -69,7 +76,7 @@ def warp_gather_eval(
 
     bidx_p, by_p, bx_p = padi(bidx), padi(by), padi(bx)
     half_p = padi(half)
-    lvl0_p = padi(lvl0)
+    srcsel_p = padi(srcsel)
     valid_p = padi(valid)
     uxp = jnp.full((npad, s2p), -1e6, jnp.float32).at[:n, :s2].set(ux)
     uyp = jnp.full((npad, s2p), -1e6, jnp.float32).at[:n, :s2].set(uy)
@@ -77,8 +84,8 @@ def warp_gather_eval(
     grid = (npad // _G,)
 
     def kernel(
-        bidx_ref, by_ref, bx_ref, half_ref, lvl0_ref, valid_ref,
-        ux_ref, uy_ref, canvas_ref, src_ref, out_ref,
+        bidx_ref, by_ref, bx_ref, half_ref, srcsel_ref, valid_ref,
+        ux_ref, uy_ref, canvas_ref, src_ref, l1_ref, out_ref,
         scratch_bf, scratch_u8, sems_bf, sems_u8,
     ):
         i = pl.program_id(0)
@@ -88,6 +95,18 @@ def warp_gather_eval(
             widx = step * _G + g
             return pltpu.make_async_copy(
                 canvas_ref.at[
+                    bidx_ref[widx],
+                    pl.ds(pl.multiple_of(by_ref[widx], 16), _SH),
+                    pl.ds(pl.multiple_of(bx_ref[widx], 128), _SW),
+                ],
+                scratch_bf.at[slot, g],
+                sems_bf.at[slot, g],
+            )
+
+        def dma_l1(step, slot, g):
+            widx = step * _G + g
+            return pltpu.make_async_copy(
+                l1_ref.at[
                     bidx_ref[widx],
                     pl.ds(pl.multiple_of(by_ref[widx], 16), _SH),
                     pl.ds(pl.multiple_of(bx_ref[widx], 128), _SW),
@@ -113,13 +132,17 @@ def warp_gather_eval(
             # most candidate lanes are invalid in typical frames.
             for g in range(_G):
                 is_valid = valid_ref[step * _G + g] != 0
-                is_l0 = lvl0_ref[step * _G + g] != 0
+                ssel = srcsel_ref[step * _G + g]
 
-                @pl.when(is_valid & is_l0)
+                @pl.when(is_valid & (ssel == 1))
                 def _():
                     dma_u8(step, slot, g).start()
 
-                @pl.when(is_valid & jnp.logical_not(is_l0))
+                @pl.when(is_valid & (ssel == 2))
+                def _():
+                    dma_l1(step, slot, g).start()
+
+                @pl.when(is_valid & (ssel == 0))
                 def _():
                     dma_bf(step, slot, g).start()
 
@@ -147,7 +170,8 @@ def warp_gather_eval(
             # Invalid windows skip compute too (their out rows are
             # garbage, masked downstream).
             is_valid = valid_ref[i * _G + g] != 0
-            is_l0 = lvl0_ref[i * _G + g] != 0
+            ssel = srcsel_ref[i * _G + g]
+            is_l0 = ssel == 1
 
             @pl.when(is_valid)
             def _():
@@ -163,7 +187,13 @@ def warp_gather_eval(
                 bufb = scratch_bf[slot, g]  # (_SH, _SW) bf16
                 bufu = scratch_u8[slot, g]  # (_SHU, _SW) u8
                 winb = jnp.where(
-                    half_ref[widx] == 0, bufb[:, :128], bufb[:, 64:192]
+                    half_ref[widx] == 0,
+                    bufb[:, :128],
+                    jnp.where(
+                        half_ref[widx] == 1,
+                        bufb[:, 64:192],
+                        bufb[:, 128:256],
+                    ),
                 )  # (_SH, 128)
                 # u8 -> bf16 via i32/f32 (Mosaic has no direct u8 cast);
                 # u8 values <= 255 are exact in bf16.  Pad 72 -> 80 rows
@@ -207,6 +237,7 @@ def warp_gather_eval(
                 ),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (_G, s2p), lambda i, *_refs: (i, 0), memory_space=pltpu.VMEM
@@ -220,6 +251,9 @@ def warp_gather_eval(
         ),
         out_shape=jax.ShapeDtypeStruct((npad, s2p), jnp.float32),
         interpret=interpret,
-    )(bidx_p, by_p, bx_p, half_p, lvl0_p, valid_p, uxp, uyp, canvas, src)
+    )(
+        bidx_p, by_p, bx_p, half_p, srcsel_p, valid_p, uxp, uyp,
+        canvas, src, l1,
+    )
 
     return out[:n, :s2]

@@ -300,11 +300,25 @@ def warp_patches_pallas(
 # --------------------------------------------------------------------------
 # Bilinear patch warp — Pallas DMA path (batched; windows never hit HBM)
 # --------------------------------------------------------------------------
+def pyramid_level_shapes(h: int, w: int, levels: int):
+    """Padded (ph, pw) per pyramid level — the pure-int twin of
+    build_pyramid/build_packed_pyramid's padding math (pad to even first,
+    then clamp to the 64-px warp window)."""
+    out = []
+    for _ in range(levels):
+        ph = max(h + (h % 2), _WARP_WIN)
+        pw = max(w + (w % 2), _WARP_WIN)
+        out.append((ph, pw))
+        h, w = ph // 2, pw // 2
+    return out
+
+
 def build_packed_pyramid(
     grey: jnp.ndarray,
     levels: int,
     skip_level0: bool = False,
     level1: jnp.ndarray | None = None,
+    skip_level1: bool = False,
 ):
     """(B, H, W) u8 -> one bf16 canvas with pyramid levels stacked.
 
@@ -330,6 +344,10 @@ def build_packed_pyramid(
     """
     b, h, w = grey.shape
     img = grey.astype(jnp.bfloat16)
+    if skip_level1:
+        # Level-1 windows DMA straight from the supplied level-1 plane
+        # (ops.warp_gather source 2): the canvas starts at level 2.
+        assert level1 is not None, "skip_level1 requires the level1 plane"
     if level1 is not None:
         assert skip_level0, "level1 shortcut only valid when skipping L0"
         ph0 = max(h + (h % 2), _WARP_WIN)
@@ -371,7 +389,7 @@ def build_packed_pyramid(
             jnp.asarray(csel, dtype=jnp.bfloat16),
             preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16)
-    start = 1 if skip_level0 else 0
+    start = (2 if skip_level1 else 1) if skip_level0 else 0
     if start >= levels:
         # Single-level pyramid with level 0 external: dummy canvas.
         canvas = jnp.zeros((b, 96, 128), jnp.bfloat16)
@@ -414,6 +432,28 @@ def build_grey_src(grey: jnp.ndarray, halo: int = 16, halo_c: int = 128):
     return jax.lax.dynamic_update_slice(src, grey, (0, halo, halo_c))
 
 
+def l1_direct_ok(
+    l1_shape: tuple[int, int], shapes, levels: int
+) -> bool:
+    """True when the emitted level-1 plane's padding admits the warp
+    kernel's aligned (80, 256) window DMAs for every clamped level-1
+    window base (ops.warp_gather source 2).  All-static geometry.
+    """
+    if levels < 2:
+        return False
+    h1p, w1p = l1_shape
+    hl, wl = shapes[1]
+    win = _WARP_WIN
+    if w1p < 256:
+        return False
+    s64max = max(((wl - win) // 64) * 64, 0)
+    if s64max - (w1p - 256) > 128:  # window must start within the buffer
+        return False
+    if ((hl - win) // 16) * 16 + 80 > h1p:
+        return False
+    return True
+
+
 def warp_patches_dma(
     canvas: jnp.ndarray,
     offsets: list[int],
@@ -426,6 +466,7 @@ def warp_patches_dma(
     src: jnp.ndarray | None = None,  # (B, Hs, Ws) u8 level-0 source
     src_halo: tuple[int, int] = (16, 128),
     image_hw: tuple[int, int] | None = None,
+    l1_plane: jnp.ndarray | None = None,  # (B, H1, W1) bf16 level-1 source
 ) -> jnp.ndarray:
     """Batched warp via the Pallas window-DMA kernel (ops.warp_gather).
 
@@ -437,6 +478,14 @@ def warp_patches_dma(
     ``src_halo``, ``image_hw`` true dims) level-0 windows DMA from it
     directly and ``canvas`` must have been built with skip_level0 —
     the full-resolution level never exists in bf16.
+
+    When ``l1_plane`` is additionally given (the fused frontend's
+    emitted level-1 plane, zero-padded; see l1_direct_ok for the
+    geometry precondition) level-1 windows DMA from it directly and
+    ``canvas`` must have been built with skip_level1 — the canvas then
+    never carries a half-resolution level either.  Window bases are
+    clamped into the plane; the kernel's 3-position half-shift absorbs
+    the clamp.
     """
     from .ops.warp_gather import warp_gather_eval
 
@@ -469,7 +518,10 @@ def warp_patches_dma(
     ).astype(jnp.int32)
     center = (bmin + bmax) * 0.5
 
-    all_ty, all_tx, all_ux, all_uy = [], [], [], []
+    all_ty, all_tx, all_ux, all_uy, all_roff = [], [], [], [], []
+    use_l1 = l1_plane is not None
+    if use_l1:
+        assert use_src, "l1_plane routing requires the src path"
     for level in range(levels):
         if level == 0 and use_src:
             # Level-0 windows address the u8 src in IMAGE coordinates;
@@ -486,11 +538,16 @@ def warp_patches_dma(
         tly = jnp.clip(
             jnp.round(cl[..., 1]).astype(jnp.int32) - win // 2, 0, hl - win
         )
-        row_off = 0 if (level == 0 and use_src) else offsets[level]
+        direct = (level == 0 and use_src) or (level == 1 and use_l1)
+        # Row offsets stay INTEGER and are applied to the aligned window
+        # base only (they are multiples of 16): adding them to the f32
+        # sample coords and subtracting them back would round the low
+        # mantissa bits of uy.
+        all_roff.append(0 if direct else offsets[level])
         all_ux.append((sx + 0.5) / scale - 0.5)
-        all_uy.append((sy + 0.5) / scale - 0.5 + float(row_off))
+        all_uy.append((sy + 0.5) / scale - 0.5)
         all_tx.append(tlx)
-        all_ty.append(tly + row_off)
+        all_ty.append(tly)
 
     def sel(stack, zero=0):
         return sum(
@@ -504,13 +561,25 @@ def warp_patches_dma(
             for level in range(levels)
         )
 
-    ty = sel(all_ty)  # (B, K) canvas rows (src path: image rows at lvl 0)
+    ty = sel(all_ty)  # (B, K) level rows
     tx = sel(all_tx)
     uxl = sel(all_ux, 0.0)  # (B, K, S2) level coords
     uyl = sel(all_uy, 0.0)
+    roff = sum(
+        jnp.where(lvl == level, jnp.int32(all_roff[level]), 0)
+        for level in range(levels)
+    )  # (B, K) canvas row offset of each window's level
 
     s64 = (tx // 64) * 64
     bxl = (s64 // 128) * 128
+    if use_l1:
+        # Level-1 bases clamp into the l1 plane (it can be up to 128
+        # lanes narrower than an in-bounds 128-aligned base needs); the
+        # 64-lane window then starts at buffer offset 0, 64 or 128.
+        is1 = lvl == 1
+        bxl = jnp.where(
+            is1, jnp.minimum(bxl, l1_plane.shape[2] - 256), bxl
+        )
     half = (s64 - bxl) // 64
     ux_rel = uxl - s64[..., None].astype(jnp.float32)
     if use_src:
@@ -519,15 +588,18 @@ def warp_patches_dma(
         by_img = (ty // 8) * 8  # u8 rows align to 8
         by_can = (ty // 16) * 16  # bf16 rows align to 16
         by_rel = jnp.where(is0, by_img, by_can)
-        by = jnp.where(is0, halo_r + by_img, by_can)
+        by = by_rel + jnp.where(is0, halo_r, roff)
         bx = jnp.where(is0, halo_c + bxl, bxl)
         uy_rel = uyl - by_rel[..., None].astype(jnp.float32)
-        lvl0 = is0.astype(jnp.int32)
+        srcsel = is0.astype(jnp.int32)
+        if use_l1:
+            srcsel = srcsel + 2 * is1.astype(jnp.int32)
     else:
-        by = (ty // 16) * 16
+        by_rel = (ty // 16) * 16
+        by = by_rel + roff
         bx = bxl
-        uy_rel = uyl - by[..., None].astype(jnp.float32)
-        lvl0 = jnp.zeros((b, k), jnp.int32)
+        uy_rel = uyl - by_rel[..., None].astype(jnp.float32)
+        srcsel = jnp.zeros((b, k), jnp.int32)
         src = jnp.zeros((b, 80, 256), jnp.uint8)  # dead operand
 
     n = b * k
@@ -535,14 +607,17 @@ def warp_patches_dma(
     bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
     if valid is None:
         valid = jnp.ones((b, k), dtype=bool)
+    if l1_plane is None:
+        l1_plane = jnp.zeros((b, 80, 256), jnp.bfloat16)  # dead operand
     vals = warp_gather_eval(
         canvas,
         src,
+        l1_plane,
         bidx,
         by.reshape(n),
         bx.reshape(n),
         half.reshape(n),
-        lvl0.reshape(n),
+        srcsel.reshape(n),
         valid.reshape(n),
         ux_rel.reshape(n, s2),
         uy_rel.reshape(n, s2),

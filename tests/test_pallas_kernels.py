@@ -268,6 +268,62 @@ def test_warp_dma_matches_mxu(rng, src_l0):
     assert np.abs(got - ref).max() < 2.5
 
 
+def test_warp_dma_l1_direct(rng):
+    """Routing level-1 windows straight to the frontend's emitted level-1
+    plane (warp kernel source 2, canvas starting at level 2) must be
+    bit-identical to reading level 1 from the canvas, and match the XLA
+    MXU warp within bf16 rounding."""
+    b, h, w, K, S = 2, 480, 640, 6, 49
+    grey = jnp.asarray(rng.integers(0, 256, size=(b, h, w), dtype=np.uint8))
+    c = rng.uniform(130, 350, size=(b, K, 1, 2))
+    half = rng.uniform(40, 110, size=(b, K, 1, 1))  # levels 1 and 2
+    base = np.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], float)
+    quads = jnp.asarray((c + half * base).astype(np.float32))
+    levels = max(1, int(math.ceil(math.log2(max(h, w) / 60.0))) + 1)
+    H, _ = rectify.homography_square_to_quad(quads, S)
+
+    out = fused_threshold_open_pool(
+        grey, 7, 2, 10, interpret=True, emit_packed=True,
+        emit_grey_canvas=True, emit_level1=True,
+    )
+    level1, src, halo_r, halo_c = out[2], out[3], out[4], out[5]
+    assert rectify.l1_direct_ok(
+        level1.shape[1:], rectify.pyramid_level_shapes(h, w, levels), levels
+    )
+    kwargs = dict(
+        src=src, src_halo=(halo_r, halo_c), image_hw=(h, w), interpret=True
+    )
+
+    canvas0, off0, shp0 = rectify.build_packed_pyramid(
+        grey, levels, skip_level0=True, level1=level1
+    )
+    base_out = np.asarray(
+        rectify.warp_patches_dma(canvas0, off0, shp0, H, quads, S, **kwargs)
+    )
+    canvas1, off1, shp1 = rectify.build_packed_pyramid(
+        grey, levels, skip_level0=True, level1=level1, skip_level1=True
+    )
+    assert canvas1.shape[1] < canvas0.shape[1]
+    l1_out = np.asarray(
+        rectify.warp_patches_dma(
+            canvas1, off1, shp1, H, quads, S, l1_plane=level1, **kwargs
+        )
+    )
+    assert np.array_equal(base_out, l1_out)
+
+    ref = np.stack(
+        [
+            np.asarray(
+                rectify.warp_patches_mxu(
+                    rectify.build_pyramid(grey[i], levels), H[i], quads[i], S
+                )
+            )
+            for i in range(b)
+        ]
+    )
+    assert np.abs(l1_out - ref).max() < 2.5
+
+
 def test_warp_pallas_matches_mxu(rng):
     h, w, K, S = 480, 640, 8, 49
     grey = jnp.asarray(rng.integers(0, 256, size=(h, w), dtype=np.uint8))

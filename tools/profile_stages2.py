@@ -93,14 +93,21 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
             H, h_valid = rectify.homography_square_to_quad(quads, s)
             acc.append(jnp.sum(H))
         if upto >= 7:
+            nlv = _num_levels(h, w)
+            l1_ok = rectify.l1_direct_ok(
+                level1.shape[1:],
+                rectify.pyramid_level_shapes(h, w, nlv), nlv,
+            )
             canvas, offsets, shapes = rectify.build_packed_pyramid(
-                grey, _num_levels(h, w), skip_level0=True, level1=level1
+                grey, nlv, skip_level0=True, level1=level1,
+                skip_level1=l1_ok,
             )
             acc.append(jnp.sum(canvas[:, ::311, ::311].astype(jnp.float32)))
         if upto >= 8:
             patches = rectify.warp_patches_dma(
                 canvas, offsets, shapes, H, quads, s, valid=valid & h_valid,
                 src=grey_src, src_halo=(halo_r, halo_c), image_hw=(h, w),
+                l1_plane=level1 if l1_ok else None,
             )
             acc.append(jnp.sum(patches))
         if upto >= 9:
