@@ -28,9 +28,45 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .frontend_pallas import _unpack_bits_halving, _unpack_row_order
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _words_down(wp):
+    """Word-granularity shift: out word i = in word i-1 (zeros in)."""
+    return jnp.concatenate([jnp.zeros_like(wp[:1]), wp[:-1]], axis=0)
+
+
+def _words_up(wp):
+    return jnp.concatenate([wp[1:], jnp.zeros_like(wp[:1])], axis=0)
+
+
+def _bit_fwd(wp, s: int):
+    """Row-bit-packed shift FORWARD: out bit k = in bit k-s (zeros in).
+
+    Words pack 32 grid rows in bits 0..31; word index rides sublanes.
+    """
+    q, r = divmod(s, 32)
+    for _ in range(q):
+        wp = _words_down(wp)
+    if r:
+        prv = _words_down(wp)
+        wp = (wp << r) | ((prv >> (32 - r)) & ((1 << r) - 1))
+    return wp
+
+
+def _bit_bwd(wp, s: int):
+    """out bit k = in bit k+s (zeros in)."""
+    q, r = divmod(s, 32)
+    for _ in range(q):
+        wp = _words_up(wp)
+    if r:
+        nxt = _words_up(wp)
+        wp = ((wp >> r) & ((1 << (32 - r)) - 1)) | (nxt << (32 - r))
+    return wp
 
 
 def coarse_fits_vmem(hc: int, wc: int) -> bool:
@@ -43,7 +79,9 @@ def coarse_fits_vmem(hc: int, wc: int) -> bool:
     """
     rp = max(_round_up(hc, 8), 8)
     cp = max(256, _round_up(wc + 1, 128))
-    return rp * cp * 4 * 12 <= 12 * 1024 * 1024
+    # rp <= 512: the bit-packed flood planes hold the grid rows of one
+    # column in at most sixteen 32-bit words.
+    return rp <= 512 and rp * cp * 4 * 12 <= 12 * 1024 * 1024
 
 
 @functools.partial(
@@ -105,7 +143,8 @@ def coarse_labels(
         src, coarse.astype(jnp.int32), (0, 0, 0)
     )
 
-    def kernel(src_ref, l1_ref, l2_ref):
+    def kernel(src_ref, wpack_ref, usel_ref, inimg_ref, border_ref,
+               l1_ref, l2_ref):
         if f_pack > 1:
             black = jnp.concatenate(
                 [src_ref[f] for f in range(f_pack)], axis=1
@@ -115,9 +154,6 @@ def coarse_labels(
         riota = jax.lax.broadcasted_iota(jnp.int32, (rp, w_all), 0)
         ciota = jax.lax.broadcasted_iota(jnp.int32, (rp, w_all), 1)
         cm = jnp.remainder(ciota, jnp.int32(cp))  # per-frame lane index
-        in_img = jnp.where(
-            (riota < hc) & (cm < wc), jnp.int32(1), jnp.int32(0)
-        )
 
         def roll(a, s):
             return pltpu.roll(a, s % w_all, axis=1)
@@ -176,19 +212,102 @@ def coarse_labels(
                 shift *= 2
             return jnp.where(m == 1, jnp.minimum(lf, lb), s_val)
 
-        def neigh8_or(x):
-            # 8-neighbour OR *excluding* centre (flood transport step).
-            h = jnp.maximum(jnp.maximum(roll(x, 1), x), roll(x, -1))
-            up = shift_rows(h, 1, 0)
-            dn = shift_rows(h, -1, 0)
-            side = jnp.maximum(roll(x, 1), roll(x, -1))
-            return jnp.maximum(jnp.maximum(up, dn), side)
+        # ------- bit-packed mask domain (floods/dilations) -------
+        # Masks pack 32 grid ROWS per int32 word (word index in
+        # sublanes, grid columns in lanes): every flood transport and
+        # run-fill partial is a bitwise op on an (8, cp) plane — 1/32
+        # the rows of the int domain.  Pack/unpack ride the MXU (same
+        # selector machinery as the fused frontend).  Labels stay int
+        # (CCL below is unchanged).
+        def pack_bits(plane_int):
+            pb = plane_int.astype(jnp.float32).astype(jnp.bfloat16)
+            pw = jax.lax.dot_general(
+                wpack_ref[...], pb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (2*nwp, cp): first nwp rows low 16 bits, rest high
+            return pw[:nwp].astype(jnp.int32) | (
+                pw[nwp:].astype(jnp.int32) << 16
+            )
 
-        def neigh4_or(x):
-            side = jnp.maximum(roll(x, 1), roll(x, -1))
-            up = shift_rows(x, 1, 0)
-            dn = shift_rows(x, -1, 0)
-            return jnp.maximum(jnp.maximum(up, dn), side)
+        def unpack_bits(wp):
+            sb = (
+                _unpack_bits_halving(wp)
+                .astype(jnp.float32)
+                .astype(jnp.bfloat16)
+            )  # (256, cp) 0/1
+            return jax.lax.dot_general(
+                usel_ref[...], sb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)  # (rp, cp)
+
+        inb = inimg_ref[...]  # (nwp, cp) in-image bit masks
+        borb = border_ref[...]
+
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (nwp, w_all), 1)
+        mfw = {}
+        mbw = {}
+        _s = 1
+        while _s < cp:
+            # Run-fill shifts must not wrap across the lane axis (the
+            # int-domain seg scans mask wraps the same way).
+            mfw[_s] = jnp.where(lane_i >= _s, -1, 0)
+            mbw[_s] = jnp.where(lane_i < cp - _s, -1, 0)
+            _s *= 2
+
+        def lane_fwd(x, sh):
+            return pltpu.roll(x, sh % cp, axis=1) & mfw[sh]
+
+        def lane_bwd(x, sh):
+            return pltpu.roll(x, (-sh) % cp, axis=1) & mbw[sh]
+
+        def fill_lanes_b(F, M):
+            # Complete run-fill of F through M along grid columns:
+            # Kogge-Stone doubling with a propagation mask, forward then
+            # backward (runs are intervals, so the two passes compose).
+            F = F & M
+            for sh in (lane_fwd, lane_bwd):
+                pm = M
+                step = 1
+                while step < cp:
+                    F = F | (sh(F, step) & pm)
+                    pm = pm & sh(pm, step)
+                    step *= 2
+            return F
+
+        row_lim = 1
+        while row_lim < rp:
+            row_lim *= 2
+
+        def fill_rows_b(F, M):
+            F = F & M
+            for sh in (_bit_fwd, _bit_bwd):
+                pm = M
+                step = 1
+                while step < row_lim:
+                    F = F | (sh(F, step) & pm)
+                    pm = pm & sh(pm, step)
+                    step *= 2
+            return F
+
+        def n8_b(x):
+            # 8-neighbour OR excluding centre; lane rolls wrap exactly
+            # like the int domain's (wraps land in the padding columns).
+            h = x | pltpu.roll(x, 1, axis=1) | pltpu.roll(
+                x, cp - 1, axis=1
+            )
+            side = pltpu.roll(x, 1, axis=1) | pltpu.roll(
+                x, cp - 1, axis=1
+            )
+            return _bit_fwd(h, 1) | _bit_bwd(h, 1) | side
+
+        def n4_b(x):
+            side = pltpu.roll(x, 1, axis=1) | pltpu.roll(
+                x, cp - 1, axis=1
+            )
+            return _bit_fwd(x, 1) | _bit_bwd(x, 1) | side
+
+        def dil8_b(x):
+            return x | n8_b(x)
 
         def rounds_loop(body, init, rounds):
             # On the TPU the rounds are Python-unrolled: a fori_loop
@@ -207,29 +326,17 @@ def coarse_labels(
                 x = body(x)
             return x
 
-        def flood(medium, seed, rounds, diag=True):
-            norm = neigh8_or if diag else neigh4_or
+        def flood_b(M, seed, rounds, diag=True):
+            # One round == the int-domain flood body: one 8-/4-neighbour
+            # transport, then COMPLETE run-fills along lanes, then rows
+            # (the segmented min-scans' reach, in bitwise form).
+            n = n8_b if diag else n4_b
 
-            def body(reach):
-                r = jnp.maximum(reach, norm(reach))
-                r = jnp.minimum(r, medium)
-                v = jnp.where(r == 1, 0, 1)
-                v = seg_min_lanes(v, medium, jnp.int32(2))
-                r = jnp.minimum(medium, jnp.where(v == 0, 1, 0))
-                v = jnp.where(r == 1, 0, 1)
-                v = seg_min_rows(v, medium, jnp.int32(2))
-                return jnp.minimum(medium, jnp.where(v == 0, 1, 0))
+            def body(R):
+                r1 = (R | n(R)) & M
+                return fill_rows_b(fill_lanes_b(r1, M), M)
 
-            return rounds_loop(body, jnp.minimum(medium, seed), rounds)
-
-        border = jnp.where(
-            (riota == 0)
-            | (riota == hc - 1)
-            | (cm == 0)
-            | (cm == wc - 1),
-            jnp.int32(1),
-            jnp.int32(0),
-        )
+            return rounds_loop(body, seed & M, rounds)
 
         def label_ccl(mask, rounds):
             # 4-connected (black components; see segment.label_components).
@@ -262,12 +369,11 @@ def coarse_labels(
         # (border-connected black stays in: clipped markers keep their
         # open ring; dark scenes yield one merged blob and pass 2 below
         # recovers the markers — segment.extract_candidates semantics.)
-        m1 = jnp.minimum(black, in_img)
-        not_m1 = (1 - m1) * in_img + (1 - in_img)  # pad counts as medium
-        white_reach = flood(not_m1, border, fill_rounds)
-        filled1 = jnp.minimum(
-            jnp.maximum(m1, (1 - white_reach) * not_m1), in_img
-        )
+        m1b = pack_bits(black) & inb
+        notm1b = ~m1b  # == (1-m1)*in + (1-in): padding counts as medium
+        wrb = flood_b(notm1b, borb, fill_rounds)
+        filled1b = (m1b | (~wrb & notm1b)) & inb
+        filled1 = unpack_bits(filled1b)
         l1 = label_ccl(filled1, ccl_rounds)
         for f in range(f_pack):
             l1_ref[f] = l1[:, f * cp : (f + 1) * cp]
@@ -278,43 +384,35 @@ def coarse_labels(
         # their hole-FILLED plane — O(1) convergence at any ring size or
         # rotation — then labels restrict back to the level cells.)
         if inner:
-            bg = flood(m1, border, bg_rounds, diag=False)
-            m2 = m1 * (1 - bg)
-            white = (1 - m1) * in_img
+            bgb = flood_b(m1b, borb, bg_rounds, diag=False)
+            m2b = m1b & ~bgb
+            whiteb = ~m1b & inb
 
-            def dil8(x):
-                return jnp.maximum(x, neigh8_or(x))
-
-            known = flood(
-                white,
-                jnp.minimum(jnp.maximum(border, dil8(bg)), white),
-                fill_rounds,
+            knownb = flood_b(
+                whiteb, (borb | dil8_b(bgb)) & whiteb, fill_rounds
             )
             l2 = jnp.full((rp, w_all), sent, jnp.int32)
-            remaining = m2
+            remaining = m2b
 
             def peel(carry):
-                l2, remaining, known = carry
-                level = flood(
-                    remaining,
-                    jnp.minimum(remaining, dil8(known)),
-                    inner_flood_rounds,
-                    diag=False,
+                l2, rem, kn = carry
+                levelb = flood_b(
+                    rem, rem & dil8_b(kn), inner_flood_rounds, diag=False
                 )
-                notlev = (1 - level) * in_img
-                reach_o = flood(notlev, known, inner_fill_rounds)
-                filled = (1 - reach_o) * in_img
-                lab = label_ccl(filled, inner_ccl_rounds)
-                l2 = jnp.where(level == 1, lab, l2)
-                remaining = remaining * (1 - level)
-                known = flood(
-                    white,
-                    jnp.maximum(known, jnp.minimum(white, dil8(level))),
+                notlevb = ~levelb & inb
+                reach_ob = flood_b(notlevb, kn, inner_fill_rounds)
+                filledb = ~reach_ob & inb
+                lab = label_ccl(unpack_bits(filledb), inner_ccl_rounds)
+                l2 = jnp.where(unpack_bits(levelb) == 1, lab, l2)
+                rem = rem & ~levelb
+                kn = flood_b(
+                    whiteb,
+                    kn | (whiteb & dil8_b(levelb)),
                     inner_flood_rounds,
                 )
-                return l2, remaining, known
+                return l2, rem, kn
 
-            carry = (l2, remaining, known)
+            carry = (l2, remaining, knownb)
             for depth in range(inner_depths):
                 if depth == 0:
                     # Depth 0 is nonempty in any scene with candidates.
@@ -325,7 +423,7 @@ def coarse_labels(
                     # already exhausted.  An empty `remaining` makes
                     # peel() a no-op, so the skip is exact.
                     carry = jax.lax.cond(
-                        jnp.any(carry[1] == 1), peel, lambda c: c, carry
+                        jnp.any(carry[1] != 0), peel, lambda c: c, carry
                     )
             l2 = carry[0]
             for f in range(f_pack):
@@ -334,20 +432,68 @@ def coarse_labels(
             for f in range(f_pack):
                 l2_ref[f] = jnp.full((rp, cp), sent, jnp.int32)
 
+    # Constants for the bit-packed flood domain: the row-packing MXU
+    # weights + halving-unpack selector (same scheme as the fused
+    # frontend), and the in-image / border seeds as packed bit masks.
+    nw = -(-rp // 32)
+    nwp = 8 if nw <= 8 else 16  # padded word rows of the bit planes
+    assert nw <= 16 and f_pack == 1
+    wpack = np.zeros((2 * nwp, rp), np.float32)
+    for i in range(nw):
+        for j in range(16):
+            if 32 * i + j < rp:
+                wpack[i, 32 * i + j] = float(1 << j)
+            if 32 * i + 16 + j < rp:
+                wpack[nwp + i, 32 * i + 16 + j] = float(1 << j)
+    bitpos = {wb: k for k, wb in enumerate(_unpack_row_order(nwp))}
+    usel = np.zeros((rp, 32 * nwp), np.float32)
+    for t in range(rp):
+        usel[t, bitpos[(t // 32, t % 32)]] = 1.0
+    inb = np.zeros((nwp, cp), np.int64)
+    for r in range(hc):
+        inb[r // 32, :wc] |= 1 << (r % 32)
+    borb = np.zeros((nwp, cp), np.int64)
+    for r in (0, hc - 1):
+        borb[r // 32, :wc] |= 1 << (r % 32)
+    for c in (0, wc - 1):
+        for r in range(rp):  # mirrors the int domain's riota extent
+            borb[r // 32, c] |= 1 << (r % 32)
+
+    def as_i32(a):
+        return jnp.asarray(a.astype(np.uint64).astype(np.uint32).view(np.int32))
+
     spec = pl.BlockSpec(
         (f_pack, rp, cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
+
+    def const_spec(shape):
+        return pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
     l1p, l2p = pl.pallas_call(
         kernel,
         grid=(bp // f_pack,),
-        in_specs=[spec],
+        in_specs=[
+            spec,
+            const_spec((2 * nwp, rp)),
+            const_spec((rp, 32 * nwp)),
+            const_spec((nwp, cp)),
+            const_spec((nwp, cp)),
+        ],
         out_specs=[spec, spec],
         out_shape=[
             jax.ShapeDtypeStruct((bp, rp, cp), jnp.int32),
             jax.ShapeDtypeStruct((bp, rp, cp), jnp.int32),
         ],
         interpret=interpret,
-    )(src)
+    )(
+        src,
+        jnp.asarray(wpack, jnp.bfloat16),
+        jnp.asarray(usel, jnp.bfloat16),
+        as_i32(inb),
+        as_i32(borb),
+    )
     l1p = l1p[:b]
     l2p = l2p[:b]
 

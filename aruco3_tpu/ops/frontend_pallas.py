@@ -187,9 +187,10 @@ def _unpack_bits_halving(wp):
     return p
 
 
-def _unpack_row_order():
-    """(word, bit) carried by each of _unpack_bits_halving's 256 rows."""
-    rows = [(i, 0, 32) for i in range(8)]
+def _unpack_row_order(nwords: int = 8):
+    """(word, bit) carried by each of _unpack_bits_halving's 32*nwords
+    output rows (the input plane has ``nwords`` word rows)."""
+    rows = [(i, 0, 32) for i in range(nwords)]
     for _ in range(5):
         rows = [(w, b, n // 2) for (w, b, n) in rows] + [
             (w, b + n // 2, n // 2) for (w, b, n) in rows

@@ -116,6 +116,29 @@ def main() -> None:
 
     step = jax.jit(batch_fn)
 
+    # Through the axon relay, returning ARRAY outputs costs ~45 ms per
+    # dispatch (an extra result round-trip at the relay's ~19 MB/s; on
+    # local PCIe the same transfer is ~0.2 ms).  To measure device
+    # throughput rather than the relay artifact, the timed program
+    # reduces the full result set to one scalar ON DEVICE — the checksum
+    # consumes every output (corners, ids, validity, rotations,
+    # translations, errors) so nothing is dead-code-eliminated.  The
+    # full-output program still runs once for the marker-count sanity
+    # check below.
+    def checksum_fn(frames):
+        out = batch_fn(frames)
+        err = out["pose_errors"]
+        return (
+            jnp.sum(out["marker_corners"])
+            + jnp.sum(out["marker_id"])
+            + jnp.sum(out["marker_valid"].astype(jnp.int32))
+            + jnp.sum(out["pose_rotations"])
+            + jnp.sum(out["pose_translations"])
+            + jnp.sum(jnp.where(err < 1e30, err, 0.0))
+        )
+
+    step_t = jax.jit(checksum_fn)
+
     # Realistic frames: 8 markers per 1080p frame (config 3) + noise.
     rng = np.random.default_rng(0)
     frame = np.full((h, w), 255, dtype=np.uint8)
@@ -147,16 +170,17 @@ def main() -> None:
     # degenerate pipeline).
     n_found = int(np.asarray(out["marker_valid"][0]).sum())
 
-    # Timing: force completion by fetching one element of the final
-    # iteration's output (the device queue is FIFO).  block_until_ready is
-    # not reliable through the remote-TPU relay for all program sizes; the
-    # one-off fetch round-trip (~35ms) is amortized over the iterations.
-    iters = 10
-    _ = np.asarray(out["marker_valid"]).sum()
+    # Timing: force completion by fetching the final iteration's scalar
+    # (the device queue is FIFO).  block_until_ready is not reliable
+    # through the remote-TPU relay for all program sizes; the one-off
+    # fetch round-trip (~35ms) is amortized over the iterations.
+    iters = 20
+    chk = step_t(frames)
+    _ = float(chk)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = step(frames)
-    _ = int(np.asarray(out["marker_valid"][0, 0]))
+        chk = step_t(frames)
+    _ = float(chk)
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt

@@ -64,24 +64,44 @@ def _setup(dict_name, h, w, max_candidates=32):
             "pose_errors": err,
         }
 
-    return jax.jit(batch_fn), dictionary, cfg
+    def checksum_fn(frames):
+        # One scalar consuming every output: through the axon relay a
+        # program with ARRAY outputs pays ~45 ms per dispatch (result
+        # round-trip at ~19 MB/s; ~0.2 ms on local PCIe), so the TIMED
+        # program reduces on device.  The full-output program runs once
+        # per config for the marker-count sanity checks.
+        out = batch_fn(frames)
+        err = out["pose_errors"]
+        return (
+            jnp.sum(out["marker_valid"].astype(jnp.int32))
+            + jnp.sum(out["marker_id"])
+            + jnp.sum(out["pose_translations"])
+            + jnp.sum(jnp.where(err < 1e30, err, 0.0))
+        )
+
+    return jax.jit(batch_fn), jax.jit(checksum_fn), dictionary, cfg
 
 
-def _time(step, frames, iters=10):
+def _time(step_t, frames, iters=10, step_full=None):
     """Fetch-forced timing: block_until_ready is unreliable through the
-    remote-TPU relay for some program sizes; fetching one element of the
-    last output forces the FIFO device queue to drain (the ~35ms fetch
-    round-trip is amortized over the iterations)."""
+    remote-TPU relay for some program sizes; fetching the last scalar
+    forces the FIFO device queue to drain (the ~35ms fetch round-trip is
+    amortized over the iterations).  ``step_t`` must return a scalar
+    (see checksum_fn); ``step_full`` (run once, untimed) supplies the
+    full outputs for sanity checks."""
     import jax
 
-    out = step(frames)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    _ = np.asarray(jnp_ravel_first(leaf))
+    out = None
+    if step_full is not None:
+        out = step_full(frames)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        _ = np.asarray(jnp_ravel_first(leaf))
+    chk = step_t(frames)
+    _ = float(chk)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = step(frames)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    _ = np.asarray(jnp_ravel_first(leaf))
+        chk = step_t(frames)
+    _ = float(chk)
     dt = (time.perf_counter() - t0) / iters
     return dt, out
 
@@ -110,15 +130,15 @@ def config1():
 
     import jax
 
-    step, d, _ = _setup("ARUCO_DEFAULT", 480, 640)
+    step, step_t, d, _ = _setup("ARUCO_DEFAULT", 480, 640)
     rng = np.random.default_rng(0)
     img, _, _ = random_marker_scene(d, 5, (640, 480), rng=rng)
     frames = jnp.asarray(img[None])
-    dt, out = _time(step, frames, iters=20)  # pipelined throughput
+    dt, out = _time(step_t, frames, iters=20, step_full=step)
     # True single-frame latency: synchronize every step.
     lat_t0 = time.perf_counter()
     for _ in range(10):
-        jax.block_until_ready(step(frames))
+        jax.block_until_ready(step_t(frames))
     latency = (time.perf_counter() - lat_t0) / 10
     found = int(np.asarray(out["marker_valid"]).sum())
     _emit(
@@ -133,7 +153,7 @@ def config2(noise=False):
 
     from aruco3_tpu.render import random_marker_scene, render_marker
 
-    step, d, _ = _setup("ARUCO_DEFAULT", 480, 640)
+    step, step_t, d, _ = _setup("ARUCO_DEFAULT", 480, 640)
     rng = np.random.default_rng(1)
     frames = []
     n_true = 0
@@ -158,7 +178,7 @@ def config2(noise=False):
             n_true += 1
         frames.append(img)
     frames = jnp.asarray(np.stack(frames))
-    dt, out = _time(step, frames)
+    dt, out = _time(step_t, frames, step_full=step)
     found = int(np.asarray(out["marker_valid"]).sum())
     name = "vga_batch64_noise" if noise else "vga_batch64_detect_pose"
     _emit(
@@ -235,13 +255,21 @@ def config4():
             f, d, cfg, params, min_edge, min_sep, ds
         )["marker_valid"]
     )
+
+    def chk_fn(f):
+        out = detect_batch_arrays(f, d, cfg, params, min_edge, min_sep, ds)
+        return jnp.sum(out["marker_valid"].astype(jnp.int32)) + jnp.sum(
+            out["marker_corners"]
+        )
+
+    step_t = jax.jit(chk_fn)
     rng = np.random.default_rng(2)
     img, n_true = _grid_frame(d, h, w, cell=330, rng=rng)
     # Batch 16: at batch 4 the per-dispatch overhead through the relay
     # dominated the measurement (the per-frame device work is ~2 ms).
     batch = 32
     frames = jnp.asarray(np.stack([img] * batch))
-    dt, out = _time(step, frames, iters=10)
+    dt, out = _time(step_t, frames, iters=10, step_full=step)
     found = int(np.asarray(out)[0].sum())
     _emit(
         "uhd4k_dense_grid_detect",

@@ -148,13 +148,15 @@ def test_coarse_labels_wide_grid(rng):
     assert coarse_fits_vmem(270, 480)  # 1080p at coarse_factor=4
     assert not coarse_fits_vmem(2160, 3840)  # absurd: factor 1 at 4K
 
-    c = jnp.asarray(rng.random((1, 64, 300)) < 0.35)
-    ref1, ref2 = jax.vmap(lambda m: segment.label_planes(m, p))(c)
-    got1, got2 = coarse_labels(
-        c, p.bg_rounds, p.fill_rounds, p.ccl_rounds, interpret=True
-    )
-    np.testing.assert_array_equal(np.asarray(got1), np.asarray(ref1))
-    np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref2))
+    for shape in [(64, 300), (270, 100)]:  # wide (cp>256) and tall (16
+        # packed words in the bit-flood planes)
+        c = jnp.asarray(rng.random((1,) + shape) < 0.35)
+        ref1, ref2 = jax.vmap(lambda m: segment.label_planes(m, p))(c)
+        got1, got2 = coarse_labels(
+            c, p.bg_rounds, p.fill_rounds, p.ccl_rounds, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got1), np.asarray(ref1))
+        np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref2))
 
 
 def test_refine_pallas_odd_candidate_count(rng):
