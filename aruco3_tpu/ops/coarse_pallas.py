@@ -471,6 +471,20 @@ def coarse_labels(
             shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
         )
 
+    # Large grids (hundreds of coarse rows) exceed Mosaic's default 16 MB
+    # scoped-vmem budget with the unrolled scan rounds; raise the limit
+    # for them (v5e VMEM is large enough) and keep the default for the
+    # common sizes.
+    est = rp * cp * 4 * 12
+    params = (
+        dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            )
+        )
+        if est > 4 * 1024 * 1024
+        else {}
+    )
     l1p, l2p = pl.pallas_call(
         kernel,
         grid=(bp // f_pack,),
@@ -487,6 +501,7 @@ def coarse_labels(
             jax.ShapeDtypeStruct((bp, rp, cp), jnp.int32),
         ],
         interpret=interpret,
+        **params,
     )(
         src,
         jnp.asarray(wpack, jnp.bfloat16),
