@@ -488,18 +488,19 @@ def coarse_labels(
             shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
         )
 
-    # Large grids (hundreds of coarse rows) exceed Mosaic's default 16 MB
-    # scoped-vmem budget with the unrolled scan rounds; raise the limit
-    # for them (v5e VMEM is large enough) and keep the default for the
-    # common sizes.
-    est = rp * cp * 4 * 12
+    # Large grids exceed Mosaic's default 16 MB scoped-vmem budget with
+    # the unrolled scan rounds; raise the limit for them (v5e VMEM is
+    # large enough) and keep the default for the common sizes.  Scoped
+    # usage is driven by the ROW count (deeper row-fill/seg-scan
+    # doubling chains), not the plane bytes: a 272x256 grid needs ~21 MB
+    # while 112x512 fits the default.
     params = (
         dict(
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             )
         )
-        if est > 4 * 1024 * 1024
+        if (rp > 128 or rp * cp * 4 * 12 > 4 * 1024 * 1024)
         else {}
     )
     l1p, l2p = pl.pallas_call(

@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Real-TPU exactness battery for the Pallas kernels.
+
+bench.py's gate compares the full compiled pipelines on one probe frame;
+this tool compiles the individual kernels across the geometries that
+have historically caught Mosaic lowering bugs (column tiling, 16-word
+bit planes, the warp kernel's three DMA sources) and checks each against
+its XLA reference bit-for-bit (warp: to bf16 rounding).
+
+Run after any kernel change, before trusting bench numbers:
+  python tools/tpu_check.py            # full battery (~10-20 min of
+                                       # remote compiles on first run)
+  python tools/tpu_check.py frontend coarse   # subset
+"""
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def check_frontend():
+    import jax
+    import jax.numpy as jnp
+
+    from aruco3_tpu import frontend, segment
+    from aruco3_tpu.ops.frontend_pallas import fused_threshold_open_pool
+
+    rng = np.random.default_rng(3)
+    ok = True
+    # (h, w, ds): headline geometry, odd sizes, column tiling (4K width)
+    for h, w, ds in [(1080, 1920, 10), (123, 457, 5), (200, 2600, 10)]:
+        g = jnp.asarray(rng.integers(0, 256, (2, h, w), dtype=np.uint8))
+        out = fused_threshold_open_pool(
+            g, 7, 2, ds, emit_packed=True, emit_grey_canvas=True,
+            emit_level1=True,
+        )
+        coarse, packed = np.asarray(out[0]), np.asarray(out[1])
+
+        def prep(x):
+            white = frontend.adaptive_threshold(x, 7)
+            b = segment.open_mask(~white, 2)
+            return b, segment.pool_black(b, ds)
+
+        blk, crs = jax.vmap(prep)(g)
+        ic = jnp.zeros((2,) + crs.shape[1:], bool)
+        pk = jax.vmap(
+            lambda x, bb, cc: segment.build_packed_plane(x, bb, cc, ds)
+        )(g, blk, ic)
+        e1 = np.array_equal(coarse, np.asarray(crs))
+        e2 = np.array_equal(
+            packed[:, :h, :w] & 511, np.asarray(pk) & 511
+        )
+        print(f"frontend {h}x{w} ds={ds}: coarse={e1} packed={e2}",
+              flush=True)
+        ok = ok and e1 and e2
+    return ok
+
+
+def check_coarse():
+    import jax
+    import jax.numpy as jnp
+
+    from aruco3_tpu import segment
+    from aruco3_tpu.ops.coarse_pallas import coarse_labels
+
+    p = segment.QuadParams()
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.random((4, 108, 192)) < 0.3,   # headline grid, noise
+        rng.random((2, 108, 192)) < 0.65,  # dense (dark-scene-like)
+        rng.random((1, 64, 300)) < 0.35,   # wide (cp > 256)
+        rng.random((1, 270, 100)) < 0.35,  # tall (16-word bit planes)
+    ]
+    m = np.zeros((1, 108, 192), bool)      # nested ring on halo
+    m[0, 20:80, 30:110] = True
+    m[0, 28:72, 38:102] = False
+    m[0, 36:64, 46:94] = True
+    m[0, 44:56, 54:86] = False
+    cases.append(m)
+    ok = True
+    for c in cases:
+        c = jnp.asarray(c)
+        got1, got2 = coarse_labels(
+            c, p.bg_rounds, p.fill_rounds, p.ccl_rounds
+        )
+        ref1, ref2 = jax.vmap(lambda mm: segment.label_planes(mm, p))(c)
+        e1 = np.array_equal(np.asarray(got1), np.asarray(ref1))
+        e2 = np.array_equal(np.asarray(got2), np.asarray(ref2))
+        print(f"coarse {tuple(c.shape)}: l1={e1} l2={e2}", flush=True)
+        ok = ok and e1 and e2
+    return ok
+
+
+def check_warp():
+    import jax.numpy as jnp
+
+    from aruco3_tpu import rectify
+    from aruco3_tpu.ops.frontend_pallas import fused_threshold_open_pool
+
+    rng = np.random.default_rng(5)
+    b, h, w, K, S = 2, 480, 640, 6, 49
+    grey = jnp.asarray(rng.integers(0, 256, (b, h, w), dtype=np.uint8))
+    c = rng.uniform(130, 350, size=(b, K, 1, 2))
+    half = rng.uniform(40, 110, size=(b, K, 1, 1))
+    base = np.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], float)
+    quads = jnp.asarray((c + half * base).astype(np.float32))
+    levels = max(1, int(math.ceil(math.log2(max(h, w) / 60.0))) + 1)
+    H, _ = rectify.homography_square_to_quad(quads, S)
+    out = fused_threshold_open_pool(
+        grey, 7, 2, 10, emit_packed=True, emit_grey_canvas=True,
+        emit_level1=True,
+    )
+    level1, src, hr, hc_ = out[2], out[3], out[4], out[5]
+    kwargs = dict(src=src, src_halo=(hr, hc_), image_hw=(h, w))
+    c0, o0, s0 = rectify.build_packed_pyramid(
+        grey, levels, skip_level0=True, level1=level1
+    )
+    a = np.asarray(
+        rectify.warp_patches_dma(c0, o0, s0, H, quads, S, **kwargs)
+    )
+    c1, o1, s1 = rectify.build_packed_pyramid(
+        grey, levels, skip_level0=True, level1=level1, skip_level1=True
+    )
+    bb = np.asarray(
+        rectify.warp_patches_dma(
+            c1, o1, s1, H, quads, S, l1_plane=level1, **kwargs
+        )
+    )
+    e1 = np.array_equal(a, bb)
+    ref = np.stack(
+        [
+            np.asarray(
+                rectify.warp_patches_mxu(
+                    rectify.build_pyramid(grey[i], levels),
+                    H[i], quads[i], S,
+                )
+            )
+            for i in range(b)
+        ]
+    )
+    e2 = bool(np.abs(bb - ref).max() < 2.5)
+    print(f"warp l1-direct==canvas: {e1}; vs MXU oracle<2.5: {e2}",
+          flush=True)
+    return e1 and e2
+
+
+def main():
+    which = sys.argv[1:] or ["frontend", "coarse", "warp"]
+    checks = {
+        "frontend": check_frontend,
+        "coarse": check_coarse,
+        "warp": check_warp,
+    }
+    ok = True
+    for name in which:
+        ok = checks[name]() and ok
+    print("TPU CHECK:", "ALL OK" if ok else "MISMATCH")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
