@@ -438,20 +438,19 @@ def fused_threshold_open_pool(
             - jnp.clip(cols_abs - window, 0, w - 1)
             + 1
         )
-        inside = (
-            ((rows_abs >= 0) & (rows_abs < h))
-            & ((cols_abs >= 0) & (cols_abs < w))
-        )
+        rin = (rows_abs >= 0) & (rows_abs < h)  # (nrows, 1) thin
+        cin = (cols_abs >= 0) & (cols_abs < w)  # (1, twb) thin
 
         gmid = g[halo - r2 : halo - r2 + nrows]
         area = crow.astype(jnp.float32) * ccol.astype(jnp.float32)
-        white = gmid * area >= sums
-        inside_i = inside.astype(jnp.float32)
         # Masks as f32 0/1 (Mosaic can't rotate sub-32-bit vectors; f32
-        # min/max double as and/or).
-        black = jnp.maximum(
-            1.0 - white.astype(jnp.float32), 1.0 - inside_i
+        # min/max double as and/or).  black == NOT(white AND inside),
+        # fused into one select over thin-vector broadcasts; inside_i is
+        # the outer product of the thin factors (one full-plane op).
+        black = jnp.where(
+            (gmid * area >= sums) & rin & cin, 0.0, 1.0
         )
+        inside_i = rin.astype(jnp.float32) * cin.astype(jnp.float32)
 
         # --- opening + near plane as SEPARABLE min/max windows.
         # r rounds of 3x3 erosion == one (2r+1)-square erosion; likewise

@@ -1,5 +1,11 @@
 """Pallas bilinear-evaluation kernel for the perspective warp.
 
+EXPERIMENTAL / SUPERSEDED: the production detector uses
+ops.warp_gather (per-window DMAs from three sources, natively batched);
+this kernel predates it, keeps the windows-in-XLA split, and survives
+as a second implementation exercised by tests/test_pallas_kernels.py —
+useful as a minimal example of the transposed-weights MXU evaluation.
+
 The XLA MXU warp (rectify.warp_patches_mxu) materializes the separable
 bilinear weight matrices and the T intermediate — (B, K, S^2, 64) tensors,
 ~2.5 GB of HBM traffic per 64-frame batch.  This kernel evaluates the same
