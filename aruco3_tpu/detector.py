@@ -297,9 +297,28 @@ def detect_batch_arrays(
             labels1, labels2 = jax.vmap(
                 lambda c: segment.label_planes(c, params)
             )(coarse)
+        # Fitting runs as natively-batched Pallas kernels whose per-rank
+        # and per-lane plane passes skip unused work (typical frames
+        # have ~10 rankable components; the XLA fit is dense over the
+        # full worst-case pool); the tiny top-k + merge stay in XLA.
+        # Matches candidates_from_labels except on exact-symmetry
+        # extreme-point ties, where XLA fusion rounding may pick the
+        # other equally-extreme cell (recall-neutral).
+        from .ops.fit_pallas import fit_quads_batch
+
+        fit1 = fit_quads_batch(labels1, ds, params, params.max_candidates)
+        fit2 = (
+            fit_quads_batch(
+                labels2, ds, params, params.max_inner_candidates
+            )
+            if params.max_inner_candidates > 0
+            else None
+        )
         cand = jax.vmap(
-            lambda a, c: segment.candidates_from_labels(a, c, params, ds)
-        )(labels1, labels2)
+            lambda lab, lab2, f1, f2: segment.merge_fits(
+                lab, lab2, f1, f2, params, ds
+            )
+        )(labels1, labels2, fit1, fit2)
         # The inner footprint goes to the refinement kernel at coarse
         # resolution (it upsamples per window in VMEM) — merging a
         # full-res bit plane in XLA costs a read-modify-write of the

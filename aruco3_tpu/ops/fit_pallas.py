@@ -1,0 +1,362 @@
+"""Pallas candidate-fit kernels: per-lane compute gated on lane use.
+
+The XLA fit (segment.fit_quads) is fully fused and VPU-bound, but it is
+DENSE over its lanes: the (KR, P) size-ranking pass and every per-lane
+masked reduction / extreme-point argmax / containment pass run for all
+lanes even though typical frames populate only ~10 of 44 (8 markers +
+a few specks — the lanes exist for worst-case clutter).  These kernels
+hold one frame's label plane in VMEM and gate every per-lane plane pass
+on that lane being used — the same invalid-lane skipping that pays in
+the refine/warp window kernels, applied to fitting.  Dense scenes
+simply run all lanes (no regression).
+
+Structure (exactness with segment.fit_quads is required by the
+detector's Pallas-vs-XLA gate):
+
+  1. ``rank_roots_kernel``: raster rank of component roots (integer
+     row-prefix cumsum) and per-rank (root, size) pairs, skipping ranks
+     past the frame's root count.  Integer arithmetic — exact.
+  2. XLA: the top-K-by-size selection reuses ``lax.top_k`` on
+     ``where(used, sizes, -1)`` — literally fit_quads' own selection.
+  3. ``fit_lanes_kernel``: per selected lane, the centroid / extreme
+     corners / containment chain, verbatim fit_quads f32 expressions.
+     All reductions are exact in any order (counts are integers; the
+     centroid sums are multiples of 0.5 well under 2^24), argmax is
+     max-then-min-linear-index (jnp.argmax's row-major tie-break).
+
+Reference semantics: the unbounded candidate list of
+/root/reference/src/aruco.rs:124-166, bounded to K size-ranked lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kr", "min_px", "interpret")
+)
+def rank_roots_kernel(
+    labels: jnp.ndarray,  # (B, Hc, Wc) int32, sentinel Hc*Wc
+    kr: int,
+    min_px: int = 3,
+    interpret: bool = False,
+):
+    """-> (roots_r (B, kr) int32, sizes_r (B, kr) int32 with -1 fill,
+    n_roots (B,) int32).  Matches fit_quads' raster rank pool
+    (admission pre-filter included) bit-for-bit.
+
+    The per-rank extraction runs in a fori_loop with a DYNAMIC trip
+    count min(n_roots, kr): typical frames have ~10 rankable roots, so
+    the big worst-case pool costs nothing at runtime (the XLA fit's
+    (KR, P) pass is dense over all kr lanes).
+    """
+    b, hc, wc = labels.shape
+    p = hc * wc
+    krp = _round_up(kr, 128)
+
+    def kernel(lab_ref, out_ref):
+        lab = lab_ref[0]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 1)
+        lin = ri * wc + ci
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, krp), 1)
+
+        is_root = lab == lin
+        # Pool admission pre-filter (mirrors fit_quads bit-for-bit):
+        # exclude components below the min-size gate via the exact
+        # root-window local count; wrap-around rolls match jnp.roll.
+        t = min(int(min_px), 3)
+        if t > 1:
+            rr2 = t - 1
+            cnt = jnp.zeros((hc, wc), jnp.int32)
+            for dy in range(0, rr2 + 1):
+                rolled_r = (
+                    lab
+                    if dy == 0
+                    else jnp.concatenate([lab[dy:], lab[:dy]], axis=0)
+                )
+                for dx in range(-rr2, rr2 + 1):
+                    if dy == 0 and dx < 0:
+                        continue
+                    sh = pltpu.roll(rolled_r, (-dx) % wc, axis=1)
+                    cnt = cnt + (sh == lab).astype(jnp.int32)
+            is_root = is_root & (cnt >= t)
+        is_root = is_root.astype(jnp.int32)
+        n_roots = jnp.sum(is_root)
+
+        # Inclusive raster cumsum: lane prefix within each row plus the
+        # exclusive sum of previous rows' counts (integers — exact).
+        pref = is_root
+        sh = 1
+        while sh < wc:
+            moved = pltpu.roll(pref, sh, axis=1)
+            pref = pref + jnp.where(ci >= sh, moved, 0)
+            sh *= 2
+        rowtot = jnp.sum(is_root, axis=1, keepdims=True)  # (hc, 1)
+        rpref = rowtot
+        sh = 1
+        while sh < hc:
+            moved = jnp.concatenate(
+                [jnp.zeros((sh, 1), jnp.int32), rpref[:-sh]], axis=0
+            )
+            rpref = rpref + moved
+            sh *= 2
+        rank = pref + (rpref - rowtot) - 1
+
+        def body(r, carry):
+            roots_v, sizes_v = carry
+            hit = (rank == r) & (is_root == 1)
+            root_r = jnp.min(jnp.where(hit, lin, p))
+            size_r = jnp.sum((lab == root_r).astype(jnp.int32))
+            roots_v = jnp.where(
+                lane == r, root_r.astype(jnp.float32), roots_v
+            )
+            sizes_v = jnp.where(
+                lane == r, size_r.astype(jnp.float32), sizes_v
+            )
+            return roots_v, sizes_v
+
+        # Unused ranks keep root 0 — fit_quads' one-hot extraction sums
+        # to 0 for an empty rank, and downstream always masks by
+        # lane_used, so 0 is the bit-compatible fill.
+        roots_v = jnp.zeros((1, krp), jnp.float32)
+        sizes_v = jnp.full((1, krp), -1.0, jnp.float32)
+        roots_v, sizes_v = jax.lax.fori_loop(
+            0, jnp.minimum(n_roots, kr), body, (roots_v, sizes_v)
+        )
+        out_ref[0, 0] = roots_v[0]
+        out_ref[0, 1] = sizes_v[0]
+        out_ref[0, 2] = jnp.full((krp,), n_roots, jnp.int32).astype(
+            jnp.float32
+        )
+        for rr in range(3, 8):
+            out_ref[0, rr] = jnp.zeros((krp,), jnp.float32)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hc, wc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, krp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 8, krp), jnp.float32),
+        interpret=interpret,
+    )(labels)
+    roots_r = out[:, 0, :kr].astype(jnp.int32)
+    sizes_r = out[:, 1, :kr].astype(jnp.int32)
+    n_roots = out[:, 2, 0].astype(jnp.int32)
+    return roots_r, sizes_r, n_roots
+
+
+# Output row layout of fit_lanes_kernel.
+_F_AX, _F_AY, _F_BX, _F_BY, _F_CX, _F_CY, _F_DX, _F_DY = range(8)
+_F_CONTAIN, _F_CENX, _F_CENY = range(8, 11)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ds", "containment_slack", "interpret"),
+)
+def fit_lanes_kernel(
+    labels: jnp.ndarray,  # (B, Hc, Wc) int32
+    roots: jnp.ndarray,  # (B, K) int32 selected roots
+    sizes: jnp.ndarray,  # (B, K) int32 (>= 0; lane unused if use=0)
+    use: jnp.ndarray,  # (B, K) bool — unused lanes skip all passes
+    ds: int,
+    containment_slack: float,
+    interpret: bool = False,
+):
+    """-> (quads (B,K,4,2), centroids (B,K,2), frac (B,K)) matching
+    fit_quads' per-lane chain bit-for-bit on used lanes; unused lanes
+    return zeros (mask downstream with ``use``)."""
+    b, hc, wc = labels.shape
+    k = roots.shape[1]
+    p = hc * wc
+    kp = _round_up(k, 8)
+
+    params = jnp.zeros((b, 8, 128), jnp.float32)
+    params = params.at[:, 0, :k].set(roots.astype(jnp.float32))
+    params = params.at[:, 1, :k].set(sizes.astype(jnp.float32))
+    params = params.at[:, 2, :k].set(use.astype(jnp.float32))
+
+    def kernel(lab_ref, par_ref, out_ref):
+        lab = lab_ref[0]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 1)
+        lin = ri * wc + ci
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        cxs = (ds - 1) * 0.5
+        cxp = ci.astype(jnp.float32) * ds + cxs
+        cyp = ri.astype(jnp.float32) * ds + cxs
+        slack = containment_slack * ds
+
+        for kk in range(k):
+            root_k = par_ref[0, 0, kk].astype(jnp.int32)
+            size_k = par_ref[0, 1, kk]
+            lane_used = par_ref[0, 2, kk] > 0.5
+
+            @pl.when(lane_used)
+            def _():
+                member = lab == root_k
+                szf = jnp.maximum(size_k, 1.0)
+                cenx = jnp.sum(jnp.where(member, cxp, 0.0)) / szf
+                ceny = jnp.sum(jnp.where(member, cyp, 0.0)) / szf
+
+                def amax(score):
+                    s = jnp.where(member, score, -jnp.inf)
+                    m = jnp.max(s)
+                    cand = jnp.where(s == m, lin, jnp.int32(p))
+                    return jnp.min(cand)
+
+                def cx_of(i):
+                    return (i % wc).astype(jnp.float32) * ds + cxs
+
+                def cy_of(i):
+                    return (i // wc).astype(jnp.float32) * ds + cxs
+
+                d2c = (cxp - cenx) ** 2 + (cyp - ceny) ** 2
+                ia = amax(d2c)
+                ax, ay = cx_of(ia), cy_of(ia)
+                d2a = (cxp - ax) ** 2 + (cyp - ay) ** 2
+                ic = amax(d2a)
+                qcx, qcy = cx_of(ic), cy_of(ic)
+                dx = qcx - ax
+                dy = qcy - ay
+                cross = (cxp - ax) * dy - (cyp - ay) * dx
+                ib = amax(cross)
+                idd = amax(-cross)
+                bx, by = cx_of(ib), cy_of(ib)
+                ddx, ddy = cx_of(idd), cy_of(idd)
+
+                # Containment: fit_quads' edge chain (edges A->B->C->D
+                # ->A, shoelace sign, per-edge slack*len margin).
+                area2 = (
+                    ax * by - bx * ay
+                    + bx * qcy - qcx * by
+                    + qcx * ddy - ddx * qcy
+                    + ddx * ay - ax * ddy
+                )
+                sgn = jnp.where(area2 >= 0, 1.0, -1.0)
+                inside = jnp.ones((hc, wc), dtype=bool)
+                for efx, efy, etx, ety in (
+                    (ax, ay, bx, by),
+                    (bx, by, qcx, qcy),
+                    (qcx, qcy, ddx, ddy),
+                    (ddx, ddy, ax, ay),
+                ):
+                    ex = etx - efx
+                    ey = ety - efy
+                    elen = jnp.sqrt(ex * ex + ey * ey) + 1e-6
+                    crossd = (cyp - efy) * ex - (cxp - efx) * ey
+                    inside = inside & (sgn * crossd >= -slack * elen)
+                frac = (
+                    jnp.sum(jnp.where(member & inside, 1.0, 0.0)) / szf
+                )
+
+                vals = [
+                    ax, ay, bx, by, qcx, qcy, ddx, ddy,
+                    frac, cenx, ceny,
+                ]
+                row = jnp.zeros((1, 128), jnp.float32)
+                for fi, v in enumerate(vals):
+                    row = jnp.where(lane == fi, v, row)
+                out_ref[0, kk] = row[0]
+
+            @pl.when(jnp.logical_not(lane_used))
+            def _():
+                out_ref[0, kk] = jnp.zeros((128,), jnp.float32)
+
+        for extra in range(k, kp):
+            out_ref[0, extra] = jnp.zeros((128,), jnp.float32)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hc, wc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, kp, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, kp, 128), jnp.float32),
+        interpret=interpret,
+    )(labels, params)
+
+    quads = jnp.stack(
+        [
+            jnp.stack([out[:, :k, _F_AX], out[:, :k, _F_AY]], axis=-1),
+            jnp.stack([out[:, :k, _F_BX], out[:, :k, _F_BY]], axis=-1),
+            jnp.stack([out[:, :k, _F_CX], out[:, :k, _F_CY]], axis=-1),
+            jnp.stack([out[:, :k, _F_DX], out[:, :k, _F_DY]], axis=-1),
+        ],
+        axis=-2,
+    )
+    cents = jnp.stack(
+        [out[:, :k, _F_CENX], out[:, :k, _F_CENY]], axis=-1
+    )
+    return quads, cents, out[:, :k, _F_CONTAIN]
+
+
+def fit_quads_batch(
+    labels: jnp.ndarray,  # (B, Hc, Wc) int32
+    ds: int,
+    params,  # segment.QuadParams
+    k: int,
+    interpret: bool = False,
+):
+    """Batched drop-in for jax.vmap(segment.fit_quads) over a frame
+    batch: same dict fields, bit-identical on every downstream-consumed
+    value (see module docstring for why the reductions are exact)."""
+    b, hc, wc = labels.shape
+    p = hc * wc
+    kr = max(k, min(p, max(4 * k, 64, min(p // 16, 1024))))
+    roots_r, sizes_r, n_roots = rank_roots_kernel(
+        labels, kr, params.min_component_px, interpret=interpret
+    )
+    used_r = jnp.arange(kr, dtype=jnp.int32)[None, :] < n_roots[:, None]
+    sizes_m = jnp.where(used_r, sizes_r, -1)
+    sizes, sel = jax.lax.top_k(sizes_m, k)  # fit_quads' own selection
+    roots = jnp.take_along_axis(roots_r, sel, axis=1)
+    lane_used = sizes >= 0
+    sizes_pos = jnp.maximum(sizes, 0)
+    quads, cents, frac = fit_lanes_kernel(
+        labels,
+        roots,
+        sizes_pos,
+        lane_used,
+        ds,
+        params.containment_slack,
+        interpret=interpret,
+    )
+    valid = (
+        lane_used
+        & (sizes_pos >= params.min_component_px)
+        & (frac >= params.min_containment)
+    )
+    return {
+        "quads": quads,
+        "valid": valid,
+        "roots": roots,
+        "centroids": cents,
+        "sizes": sizes_pos,
+        "qualifying": n_roots,
+    }

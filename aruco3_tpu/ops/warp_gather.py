@@ -52,7 +52,9 @@ _SW = 256  # buffer lanes: 128-lane span + <=64 alignment + pad to 128
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def warp_gather_eval(
     canvas: jnp.ndarray,  # (B, Hc, Wc) bfloat16, Hc % 16 == 0, Wc % 128 == 0
-    src: jnp.ndarray,  # (B, Hs, Ws) uint8 padded grey (level-0 source)
+    src: jnp.ndarray,  # (B, Hs, Ws) level-0 source: uint8 padded grey OR
+    #                    the int16 packed refinement plane (grey = bits
+    #                    0-7, already zero outside the image)
     l1: jnp.ndarray,  # (B, H1, W1) bfloat16 level-1 plane (source 2)
     bidx: jnp.ndarray,  # (N,) int32 frame index
     by: jnp.ndarray,  # (N,) int32 row base (bf16: %16; src: %8)
@@ -70,6 +72,9 @@ def warp_gather_eval(
     n, s2 = ux.shape
     s2p = _round_up(s2, 128)
     npad = _round_up(max(n, _G), _G)
+    src_i16 = src.dtype == jnp.int16
+    al0 = 16 if src_i16 else 8  # source-0 row alignment follows dtype
+    shu = _SH if src_i16 else _SHU
 
     def padi(a):
         return jnp.zeros((npad,), jnp.int32).at[:n].set(a.astype(jnp.int32))
@@ -120,7 +125,7 @@ def warp_gather_eval(
             return pltpu.make_async_copy(
                 src_ref.at[
                     bidx_ref[widx],
-                    pl.ds(pl.multiple_of(by_ref[widx], 8), _SHU),
+                    pl.ds(pl.multiple_of(by_ref[widx], al0), shu),
                     pl.ds(pl.multiple_of(bx_ref[widx], 128), _SW),
                 ],
                 scratch_u8.at[slot, g],
@@ -195,17 +200,25 @@ def warp_gather_eval(
                         bufb[:, 128:256],
                     ),
                 )  # (_SH, 128)
-                # u8 -> bf16 via i32/f32 (Mosaic has no direct u8 cast);
-                # u8 values <= 255 are exact in bf16.  Pad 72 -> 80 rows
-                # with zeros (uy alignment slack for u8 is <= 7, so rows
-                # beyond 71 carry zero weight).
+                # source-0 window -> bf16 via i32/f32 (Mosaic has no
+                # direct sub-32-bit casts); grey values <= 255 are exact
+                # in bf16.  int16 packed-plane sources carry grey in
+                # bits 0-7 (bit 8 = the refine near flag) — mask it off.
                 winu = jnp.where(
                     half_ref[widx] == 0, bufu[:, :128], bufu[:, 64:192]
-                ).astype(jnp.int32).astype(jnp.float32)
-                winu = jnp.concatenate(
-                    [winu, jnp.zeros((_SH - _SHU, 128), jnp.float32)],
-                    axis=0,
-                ).astype(jnp.bfloat16)
+                ).astype(jnp.int32)
+                if src_i16:
+                    winu = winu & 255
+                winu = winu.astype(jnp.float32)
+                if shu < _SH:
+                    # Pad 72 -> 80 rows with zeros (uy alignment slack
+                    # for u8 is <= 7, so rows beyond 71 carry zero
+                    # weight).
+                    winu = jnp.concatenate(
+                        [winu, jnp.zeros((_SH - shu, 128), jnp.float32)],
+                        axis=0,
+                    )
+                winu = winu.astype(jnp.bfloat16)
                 win = jnp.where(is_l0, winu, winb)
                 # wxT[x, s] = weight of window column x for sample s.
                 wxt = jnp.maximum(
@@ -244,7 +257,7 @@ def warp_gather_eval(
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, _G, _SH, _SW), jnp.bfloat16),
-                pltpu.VMEM((2, _G, _SHU, _SW), jnp.uint8),
+                pltpu.VMEM((2, _G, shu, _SW), src.dtype),
                 pltpu.SemaphoreType.DMA((2, _G)),
                 pltpu.SemaphoreType.DMA((2, _G)),
             ],

@@ -474,10 +474,11 @@ def warp_patches_dma(
     level, bilinear separable weights, black outside); numerics match to
     bf16 rounding.
 
-    When ``src`` is given (the padded u8 grey canvas; image at
-    ``src_halo``, ``image_hw`` true dims) level-0 windows DMA from it
-    directly and ``canvas`` must have been built with skip_level0 —
-    the full-resolution level never exists in bf16.
+    When ``src`` is given (the padded u8 grey canvas, or the int16
+    packed refinement plane whose bits 0-7 are the image-masked grey;
+    image at ``src_halo``, ``image_hw`` true dims) level-0 windows DMA
+    from it directly and ``canvas`` must have been built with
+    skip_level0 — the full-resolution level never exists in bf16.
 
     When ``l1_plane`` is additionally given (the fused frontend's
     emitted level-1 plane, zero-padded; see l1_direct_ok for the
@@ -585,7 +586,8 @@ def warp_patches_dma(
     if use_src:
         halo_r, halo_c = src_halo
         is0 = lvl == 0
-        by_img = (ty // 8) * 8  # u8 rows align to 8
+        al0 = 16 if src.dtype == jnp.int16 else 8  # source row alignment
+        by_img = (ty // al0) * al0
         by_can = (ty // 16) * 16  # bf16 rows align to 16
         by_rel = jnp.where(is0, by_img, by_can)
         by = by_rel + jnp.where(is0, halo_r, roff)

@@ -66,7 +66,14 @@ class QuadParams:
     # background removal, and the flood budgets of its sub-steps.  All
     # its floods cross at most a marker-band width (seeds are dense), so
     # small counts converge regardless of marker size or rotation.
-    inner_depths: int = 2
+    # 3 levels: at production coarse factors a large dark patch's
+    # interior speckle is erased by the opening+pooling, so the patch
+    # fragments into an outer-edge band and a hole-edge band — a marker
+    # inside it then sits at nesting depth 2 (measured: every nested-
+    # scene miss at 1080p before this was the ring lost beyond depth 1;
+    # the hole-edge band got its lane instead).  Depths beyond the
+    # scene's nesting are skipped at runtime (exhausted-peel cond).
+    inner_depths: int = 3
     inner_flood_rounds: int = 3  # level extraction / known-white growth
     inner_fill_rounds: int = 4  # outside-reach (enclosure) flood
     # Label rounds for the (hole-filled, solid) inner component planes.
@@ -333,11 +340,39 @@ def fit_quads(
     hc, wc = labels.shape
     p = hc * wc
     k = params.max_candidates if k is None else k
-    kr = max(k, min(p, max(4 * k, 64)))  # size-ranking pool
+    # Size-ranking pool: scale with the grid — a noisy 1080p-scale dark
+    # field legitimately yields several hundred >=min-size components
+    # and the markers' raster rank can exceed a fixed small pool
+    # (measured 652 qualifying in one dark scene; the reference list is
+    # unbounded, aruco.rs:124-166).
+    kr = max(k, min(p, max(4 * k, 64, min(p // 16, 1024))))
     flat = labels.reshape(-1)
     idx = jnp.arange(p, dtype=jnp.int32)
 
     is_root = flat == idx  # white cells carry the sentinel p, never a root
+    # Pool admission: exclude components that can never pass the
+    # min-size gate.  At 1080p-scale grids a noisy dark field yields
+    # 1000+ one/two-cell speck components which exhaust the KR
+    # raster-ranked pool before the markers are reached (the reference
+    # candidate list is unbounded, aruco.rs:124-166; measured 8/50
+    # dark+nested misses at 1080p from exactly this).  Exact local
+    # test: a 4-connected component has >= t cells iff >= t cells of
+    # its label lie within Chebyshev distance t-1 of its ROOT; the root
+    # is the raster-minimum cell, so its window shrinks to rows
+    # [0, t-1] with the same-row-left cells excluded.  Wrap-around roll
+    # hits can only be the same component (labels are root indices), so
+    # they never admit an undersized one.
+    t = min(int(params.min_component_px), 3)
+    if t > 1:
+        rr = t - 1
+        cnt = jnp.zeros((hc, wc), jnp.int32)
+        for dy in range(0, rr + 1):
+            for dx in range(-rr, rr + 1):
+                if dy == 0 and dx < 0:
+                    continue
+                sh = jnp.roll(jnp.roll(labels, -dy, 0), -dx, 1)
+                cnt = cnt + (sh == labels).astype(jnp.int32)
+        is_root = is_root & (cnt.reshape(-1) >= t)
     rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1
     lane_r = jnp.where(is_root & (rank < kr), rank, kr)
     onehot_r = lane_r[None, :] == jnp.arange(kr, dtype=jnp.int32)[:, None]
@@ -736,17 +771,36 @@ def candidates_from_labels(
 
     Shared by the XLA path (extract_candidates) and the fused Pallas
     coarse kernel (ops.coarse_pallas.coarse_labels), which produce
-    identical label planes.
+    identical label planes.  The batched detector fits with the
+    lane-skipping Pallas kernels instead (ops.fit_pallas) and reuses
+    ``merge_fits`` below — bit-identical either way.
     """
     k1 = params.max_candidates
     k2 = params.max_inner_candidates
-
     fit = fit_quads(labels, ds, params, k=k1)
+    fit2 = (
+        fit_quads(labels2, ds, params, k=k2) if k2 > 0 else None
+    )
+    return merge_fits(labels, labels2, fit, fit2, params, ds)
+
+
+def merge_fits(
+    labels: jnp.ndarray,
+    labels2: jnp.ndarray,
+    fit: dict,
+    fit2: dict | None,
+    params: QuadParams,
+    ds: int,
+):
+    """Merge the outer/inner fits into K candidate lanes (size priority,
+    outer winning ties, same-marker inner duplicates suppressed)."""
+    k1 = params.max_candidates
+    k2 = params.max_inner_candidates
+
     overflow = jnp.maximum(fit["qualifying"] - k1, 0)
 
     if k2 > 0:
         filled2 = labels2 < labels2.size  # sentinel == grid size
-        fit2 = fit_quads(labels2, ds, params, k=k2)
         overflow = overflow + jnp.maximum(fit2["qualifying"] - k2, 0)
 
         # Every free-standing marker ring is also a non-border-connected

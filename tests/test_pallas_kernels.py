@@ -159,6 +159,46 @@ def test_coarse_labels_wide_grid(rng):
         np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref2))
 
 
+def test_fit_pallas_matches_fit_quads(rng):
+    """The lane-skipping fit kernels must reproduce segment.fit_quads on
+    every downstream-consumed field.  Corners may differ ONLY on exact
+    extreme-point ties (two cells equidistant from the centroid /
+    anchor), where XLA fusion rounding legitimately picks either; the
+    check verifies any differing corner is such a tie."""
+    from aruco3_tpu.ops.fit_pallas import fit_quads_batch
+
+    p = segment.QuadParams()
+    for shape, density, k in [
+        ((40, 54), 0.35, 32),   # sparse
+        ((40, 54), 0.6, 32),    # dense: few merged components
+        ((30, 40), 0.3, 12),    # inner-pass config
+        ((60, 80), 0.45, 96),   # 4K config: KR > 128
+    ]:
+        c = jnp.asarray(rng.random((3,) + shape) < density)
+        l1, _ = jax.vmap(lambda m: segment.label_planes(m, p))(c)
+        ref = jax.vmap(lambda lab: segment.fit_quads(lab, 6, p, k=k))(l1)
+        got = fit_quads_batch(l1, 6, p, k, interpret=True)
+        for key in ("valid", "sizes", "qualifying", "roots"):
+            np.testing.assert_array_equal(
+                np.asarray(got[key]), np.asarray(ref[key]), err_msg=key
+            )
+        used = np.asarray(got["sizes"]) > 0
+        qa, qb = np.asarray(got["quads"]), np.asarray(ref["quads"])
+        ca = np.asarray(got["centroids"])
+        for bi in range(qa.shape[0]):
+            for kk in range(k):
+                if not used[bi, kk]:
+                    continue
+                if np.array_equal(qa[bi, kk], qb[bi, kk]):
+                    continue
+                # Differing corners must be distance ties (same d2 from
+                # the shared centroid for corner A; remaining corners
+                # derive from the flipped anchor, so just check A).
+                da = ((qa[bi, kk, 0] - ca[bi, kk]) ** 2).sum()
+                db = ((qb[bi, kk, 0] - ca[bi, kk]) ** 2).sum()
+                assert abs(da - db) < 1e-2, (bi, kk, qa[bi, kk], qb[bi, kk])
+
+
 def test_refine_pallas_odd_candidate_count(rng):
     """Odd max_candidates (public DetectorConfig knob) must work: the
     batched kernel pads each frame's window list to the DMA group width."""

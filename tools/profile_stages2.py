@@ -65,9 +65,23 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
             acc.append(jnp.sum(labels1[:, ::7, ::7]))
             acc.append(jnp.sum(labels2[:, ::7, ::7]))
         if upto >= 2:
+            from aruco3_tpu.ops.fit_pallas import fit_quads_batch
+
+            fit1 = fit_quads_batch(
+                labels1, ds, params, params.max_candidates
+            )
+            fit2 = (
+                fit_quads_batch(
+                    labels2, ds, params, params.max_inner_candidates
+                )
+                if params.max_inner_candidates > 0
+                else None
+            )
             cand = jax.vmap(
-                lambda a, c: segment.candidates_from_labels(a, c, params, ds)
-            )(labels1, labels2)
+                lambda lab, lab2, f1, f2: segment.merge_fits(
+                    lab, lab2, f1, f2, params, ds
+                )
+            )(labels1, labels2, fit1, fit2)
             acc.append(jnp.sum(cand["quads"]))
             acc.append(jnp.sum(cand["valid"].astype(jnp.int32)))
         if upto >= 4:
