@@ -173,6 +173,11 @@ def test_fit_pallas_matches_fit_quads(rng):
         ((40, 54), 0.6, 32),    # dense: few merged components
         ((30, 40), 0.3, 12),    # inner-pass config
         ((60, 80), 0.45, 96),   # 4K config: KR > 128
+        # hc > 64: exercises the 64-row windowed per-lane chain —
+        # sparse has window-sized components, dense has percolated
+        # components taller than the window (dense fallback).
+        ((80, 54), 0.35, 32),
+        ((80, 54), 0.6, 32),
     ]:
         c = jnp.asarray(rng.random((3,) + shape) < density)
         l1, _ = jax.vmap(lambda m: segment.label_planes(m, p))(c)

@@ -95,6 +95,49 @@ def check_coarse():
     return ok
 
 
+def check_fit():
+    import jax
+    import jax.numpy as jnp
+
+    from aruco3_tpu import segment
+    from aruco3_tpu.ops.fit_pallas import fit_quads_batch
+
+    p = segment.QuadParams()
+    rng = np.random.default_rng(7)
+    cases = [
+        (rng.random((2, 108, 192)) < 0.3, 32),   # headline grid: hc > 64
+        #   exercises the windowed per-lane chain + dense fallback
+        (rng.random((2, 108, 192)) < 0.65, 12),  # dense, inner-pass k
+        (rng.random((1, 270, 100)) < 0.35, 32),  # tall grid
+        (rng.random((1, 40, 54)) < 0.35, 32),    # hc < 64: dense-only
+    ]
+    ok = True
+    for c, k in cases:
+        c = jnp.asarray(c)
+        l1, _ = jax.vmap(lambda m: segment.label_planes(m, p))(c)
+        got = fit_quads_batch(l1, 6, p, k)
+        ref = jax.vmap(lambda lab: segment.fit_quads(lab, 6, p, k=k))(l1)
+        e = True
+        for key in ("valid", "sizes", "qualifying", "roots"):
+            e = e and np.array_equal(
+                np.asarray(got[key]), np.asarray(ref[key])
+            )
+        # Corners: equal, or an exact extreme-point tie (see
+        # tests/test_pallas_kernels.py).
+        used = np.asarray(got["sizes"]) > 0
+        qa, qb = np.asarray(got["quads"]), np.asarray(ref["quads"])
+        ca = np.asarray(got["centroids"])
+        for bi, kk in zip(*np.nonzero(used)):
+            if np.array_equal(qa[bi, kk], qb[bi, kk]):
+                continue
+            da = ((qa[bi, kk, 0] - ca[bi, kk]) ** 2).sum()
+            db = ((qb[bi, kk, 0] - ca[bi, kk]) ** 2).sum()
+            e = e and abs(da - db) < 1e-2
+        print(f"fit {tuple(c.shape)} k={k}: ok={e}", flush=True)
+        ok = ok and e
+    return ok
+
+
 def check_warp():
     import jax.numpy as jnp
 
@@ -149,10 +192,11 @@ def check_warp():
 
 
 def main():
-    which = sys.argv[1:] or ["frontend", "coarse", "warp"]
+    which = sys.argv[1:] or ["frontend", "coarse", "fit", "warp"]
     checks = {
         "frontend": check_frontend,
         "coarse": check_coarse,
+        "fit": check_fit,
         "warp": check_warp,
     }
     ok = True
