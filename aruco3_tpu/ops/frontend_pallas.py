@@ -226,7 +226,7 @@ def _sliding_sum_rows(x, width: int, n_out: int, base: int):
     jax.jit,
     static_argnames=(
         "window", "open_radius", "ds", "interpret", "emit_packed",
-        "emit_grey_canvas", "emit_level1",
+        "emit_grey_canvas", "emit_level1", "_stop_after",
     ),
 )
 def fused_threshold_open_pool(
@@ -238,6 +238,7 @@ def fused_threshold_open_pool(
     emit_packed: bool = False,
     emit_grey_canvas: bool = False,
     emit_level1: bool = False,
+    _stop_after: str | None = None,
 ):
     """(B, H, W) or (H, W) uint8 -> (black (…, H, W) bool,
     coarse (…, Hc, Wc) bool[, packed (…, Hpad, Wpad) int32]).
@@ -262,13 +263,26 @@ def fused_threshold_open_pool(
     column pairs the same 128-aligned banded-block scheme as the
     threshold sums.
 
+    ``_stop_after`` (PROFILING ONLY — output values are garbage) ends
+    the kernel early after the named stage ("dma", "cast", "colsum",
+    "rowsum", "black", "pack", "morph"), writing stub blocks derived
+    from the last live intermediate to every output (so HBM write
+    traffic matches the full kernel and stage deltas isolate compute).
+
     When ``emit_grey_canvas`` (with emit_packed), additionally returns
-    (src, halo, halo_c): the kernel's own zero-padded u8 input canvas —
-    the image at row/col offset (halo, halo_c), zeros outside, halo
-    8-row / 128-lane aligned — which the warp kernel
-    (ops.warp_gather) uses as its pyramid LEVEL-0 source, so the bf16
-    canvas never carries a full-resolution level.  Costs nothing: the
-    padded canvas is materialized for the kernel's own strip DMAs anyway.
+    (src, halo, halo_c): a zero-padded u8 canvas — the image at row/col
+    offset (halo, halo_c), zeros outside, halo 8-row / 128-lane
+    aligned — which the warp kernel (ops.warp_gather) uses as its
+    pyramid LEVEL-0 source, so the bf16 canvas never carries a
+    full-resolution level.  On single-column geometries with 8-aligned
+    heights and 128-aligned widths the canvas is EMITTED BY THE KERNEL
+    (the strip scratch already is the canvas block; the kernel reads
+    the raw frame with clipped DMAs), which removes the host-side
+    zeros+dynamic_update_slice pass — measured 4.7 ms/batch-128 at
+    1080p, pure HBM traffic.  Other geometries build it host-side (the
+    kernel then strip-DMAs from it).  Canvas HEIGHT differs between the
+    two paths (n_strips*TH vs Hp+2*halo+8); consumers only rely on the
+    (halo, halo_c) offsets and the zero slack, which both provide.
     """
     squeeze = grey.ndim == 2
     if squeeze:
@@ -309,11 +323,6 @@ def fused_threshold_open_pool(
     # DMA row-slices of a u8 array must be 8-aligned in the sublane dim.
     tb = _round_up(th + 2 * halo, 8)
 
-    src = jnp.zeros(
-        (b, hp + 2 * halo + 8, halo_c + wp + halo_c), dtype=jnp.uint8
-    )
-    src = jax.lax.dynamic_update_slice(src, grey, (0, halo, halo_c))
-
     n_strips = hp // th
     n_cols = wp // tw
     grid = (b, n_strips, n_cols)
@@ -321,6 +330,55 @@ def fused_threshold_open_pool(
     # sits at column offset halo_c, so the buffer carries halo_c context
     # columns each side of the tile.
     twb = tw + 2 * halo_c
+
+    # Fused canvas: read the RAW grey frame with clipped strip DMAs and
+    # emit the zero-padded u8 canvas as a kernel OUTPUT, instead of
+    # building it host-side with zeros+dynamic_update_slice (measured
+    # 4.7 ms/batch-128 at 1080p — pure HBM traffic, 14% of the whole
+    # pipeline).  The scratch strip already IS the canvas block for its
+    # rows (image at row/col offset (halo, halo_c) of the strip), so
+    # the output write is a VMEM slice copy.  Single-column geometries
+    # with 8-aligned heights and 128-aligned widths only (covers VGA/
+    # 720p/1080p; clipped row DMAs need 8-aligned extents and the
+    # canvas block must span the full padded width); everything else
+    # keeps the host-built canvas.
+    fuse_canvas = (
+        emit_packed
+        and emit_grey_canvas
+        and n_cols == 1
+        and h % 8 == 0
+        and w % 128 == 0
+        # The fused canvas is n_strips*TH rows (vs Hp+2*halo+8 host-
+        # built): the warp kernel's level-0 window DMA reads up to row
+        # h + halo + 8 (72-row read from the 8-aligned base of the
+        # lowest window top h-64, image at row offset halo), so the
+        # extra zero strip must be at least halo + 8 rows tall.
+        and th >= halo + 8
+    )
+    if fuse_canvas:
+        src = None
+        if _stop_after == "src":  # no host canvas pass in this config
+            return grey
+        # Strip DMA classes: strip si reads image rows
+        # [si*th - halo, si*th - halo + tb) clipped to [0, h), landing
+        # at scratch row (clip amount).  Offsets/extents stay 8-aligned
+        # because th, halo, tb and h all are.  Pure-padding strips
+        # (no overlap with the image) issue no DMA at all.
+        classes: dict[tuple[int, int], list[int]] = {}
+        for si in range(n_strips):
+            sr0 = si * th - halo
+            ss0 = max(0, sr0)
+            sd0 = ss0 - sr0
+            sext = min(sr0 + tb, h) - ss0
+            if sext > 0:
+                classes.setdefault((sd0, sext), []).append(si)
+    else:
+        src = jnp.zeros(
+            (b, hp + 2 * halo + 8, halo_c + wp + halo_c), dtype=jnp.uint8
+        )
+        src = jax.lax.dynamic_update_slice(src, grey, (0, halo, halo_c))
+        if _stop_after == "src":  # profiling: canvas build only
+            return src
 
     def kernel(src_hbm, band_ref, *refs):
         wpack_ref = usel_ref = vsel_ref = None
@@ -333,48 +391,179 @@ def fused_threshold_open_pool(
             refs = refs[2:]
         if emit_packed:
             if emit_level1:
-                rowpool_ref, packed_ref, l1_ref, scratch, sem = refs
+                rowpool_ref, packed_ref, l1_ref, *rest = refs
             else:
-                rowpool_ref, packed_ref, scratch, sem = refs
+                rowpool_ref, packed_ref, *rest = refs
             black_ref = None
         else:
-            black_ref, rowpool_ref, scratch, sem = refs
+            black_ref, rowpool_ref, *rest = refs
             packed_ref = None
+        if fuse_canvas:
+            canvas_ref, scratch, sem = rest
+        else:
+            canvas_ref = None
+            scratch, sem = rest
         bi = pl.program_id(0)
         i = pl.program_id(1)
         c = pl.program_id(2)
         step = (bi * n_strips + i) * n_cols + c
         slot = step % 2
 
-        def strip_dma(step_idx, slot_idx):
+        def strip_dma(step_idx, slot_idx, wait=False):
             sbi = step_idx // (n_strips * n_cols)
             rem = step_idx % (n_strips * n_cols)
             si = rem // n_cols
-            sc = rem % n_cols
-            return pltpu.make_async_copy(
-                src_hbm.at[
-                    sbi, pl.ds(si * th, tb), pl.ds(sc * tw, twb)
-                ],
-                scratch.at[slot_idx],
-                sem.at[slot_idx],
-            )
+            if not fuse_canvas:
+                sc = rem % n_cols
+                cp_ = pltpu.make_async_copy(
+                    src_hbm.at[
+                        sbi, pl.ds(si * th, tb), pl.ds(sc * tw, twb)
+                    ],
+                    scratch.at[slot_idx],
+                    sem.at[slot_idx],
+                )
+                (cp_.wait if wait else cp_.start)()
+                return
+            # Fused canvas: clipped read straight from the raw frame.
+            # One static-shape DMA per (dst-offset, extent) class,
+            # selected by strip index; pure-padding strips have no
+            # class and do nothing (the slot was pre-zeroed).
+            for (sd0, sext), sis in classes.items():
+                cond = si == sis[0]
+                for s_ in sis[1:]:
+                    cond = cond | (si == s_)
+
+                @pl.when(cond)
+                def _(sd0=sd0, sext=sext):
+                    s0 = si * th - halo + sd0
+                    cp_ = pltpu.make_async_copy(
+                        src_hbm.at[
+                            sbi,
+                            pl.ds(pl.multiple_of(s0, 8), sext),
+                            pl.ds(0, w),
+                        ],
+                        scratch.at[
+                            slot_idx, pl.ds(sd0, sext), pl.ds(halo_c, w)
+                        ],
+                        sem.at[slot_idx],
+                    )
+                    (cp_.wait if wait else cp_.start)()
+
+        def zero_ranges(slot_idx, ranges):
+            # Zero the given row ranges of the slot's IMAGE column band.
+            # The bands outside [halo_c, halo_c+w) are zeroed once at
+            # each slot's first use and never dirtied again (the DMA
+            # and the compute only ever write the image band).
+            for r0_, r1_ in ranges:
+                z = jnp.zeros((r1_ - r0_, w), jnp.uint8)
+
+                @pl.when(slot_idx == 0)
+                def _(z=z, r0_=r0_):
+                    scratch[0, r0_ : r0_ + z.shape[0], halo_c : halo_c + w] = z
+
+                @pl.when(slot_idx == 1)
+                def _(z=z, r0_=r0_):
+                    scratch[1, r0_ : r0_ + z.shape[0], halo_c : halo_c + w] = z
+
+        def zero_full(slot_idx):
+            z = jnp.zeros((tb, twb), jnp.uint8)
+
+            @pl.when(slot_idx == 0)
+            def _():
+                scratch[0] = z
+
+            @pl.when(slot_idx == 1)
+            def _():
+                scratch[1] = z
+
+        def zero_stale(step_idx, slot_idx):
+            # Rows of the image band that strip step_idx's DMA will NOT
+            # overwrite but an earlier strip in this slot dirtied.
+            # Grouped like the DMA classes; interior strips (full-band
+            # DMA) zero nothing.
+            si = (step_idx % (n_strips * n_cols)) // n_cols
+            comp: dict[tuple[tuple[int, int], ...], list[int]] = {}
+            covered = {}
+            for (sd0, sext), sis in classes.items():
+                for s_ in sis:
+                    covered[s_] = (sd0, sd0 + sext)
+            for s_ in range(n_strips):
+                lo, hi = covered.get(s_, (0, 0))
+                rr = tuple(
+                    r for r in ((0, lo), (hi, tb)) if r[1] > r[0]
+                )
+                if rr:
+                    comp.setdefault(rr, []).append(s_)
+            for rr, sis in comp.items():
+                cond = si == sis[0]
+                for s_ in sis[1:]:
+                    cond = cond | (si == s_)
+
+                @pl.when(cond)
+                def _(rr=rr):
+                    zero_ranges(slot_idx, rr)
 
         @pl.when(step == 0)
         def _():
-            strip_dma(step, slot).start()
+            if fuse_canvas:
+                zero_full(slot)
+            strip_dma(step, slot)
 
         last = pl.num_programs(0) * n_strips * n_cols - 1
 
         @pl.when(step < last)
         def _():
-            strip_dma(step + 1, 1 - slot).start()
+            if fuse_canvas:
 
-        strip_dma(step, slot).wait()
+                @pl.when(step == 0)
+                def _():
+                    zero_full(1 - slot)
+
+                @pl.when(step > 0)
+                def _():
+                    zero_stale(step + 1, 1 - slot)
+
+            strip_dma(step + 1, 1 - slot)
+
+        strip_dma(step, slot, wait=True)
+
+        if canvas_ref is not None:
+            canvas_ref[0] = scratch[slot][:th]
+
+        def _stub(x):
+            # Profiling early-out: write every output block from slices
+            # of the last live intermediate (keeps it un-DCE'd and the
+            # HBM write traffic identical to the full kernel).
+            l0 = halo_c
+            xi = x.astype(jnp.float32)
+            if xi.shape[0] < th + 2:  # packed word planes are 8 rows
+                xi = jnp.broadcast_to(xi[0:1], (th + 2, xi.shape[1]))
+            xi = xi[: th + 2, l0 : l0 + tw + 2]
+            rowpool_ref[0] = (
+                xi[: th // ds, :tw].astype(jnp.int32).astype(jnp.uint8)
+            )
+            if packed_ref is not None:
+                packed_ref[0] = (
+                    xi[:th, :tw].astype(jnp.int32).astype(jnp.int16)
+                )
+            if l1_ref is not None:
+                l1_ref[0] = xi[: th // 2, : tw // 2].astype(jnp.bfloat16)
+            if black_ref is not None:
+                black_ref[0] = (
+                    xi[:th, :tw].astype(jnp.int32).astype(jnp.uint8)
+                )
+
+        if _stop_after == "dma":
+            _stub(scratch[slot].astype(jnp.int32))
+            return
 
         # f32 arithmetic throughout: every value here is an integer
         # < 2^24 (box sums <= 255*(2w+1)^2), so f32 is exact — and the
         # VPU is f32-native (int32 vector multiplies are emulated).
         g = scratch[slot].astype(jnp.int32).astype(jnp.float32)
+        if _stop_after == "cast":
+            _stub(g)
+            return
 
         def roll(a, shift, axis):
             n = a.shape[axis]
@@ -412,12 +601,18 @@ def fused_threshold_open_pool(
                 )
             )
         colsum = jnp.concatenate(blocks, axis=1)
+        if _stop_after == "colsum":
+            _stub(colsum)
+            return
         r2 = 2 * r + ext
         nrows = th + 2 * r2
         # Row direction: sliding sums over the strip buffer; row 0 of the
         # output corresponds to absolute image row i*th - r2.
         off = halo - r2 - window  # small non-negative (halo is rounded up)
         sums = _sliding_sum_rows(colsum, 2 * window + 1, nrows, off)
+        if _stop_after == "rowsum":
+            _stub(sums)
+            return
 
         # --- counts (closed form, position-dependent at borders) ---
         # Built from (nrows, 1) x (1, twb) factors: the clip chains run on
@@ -451,6 +646,9 @@ def fused_threshold_open_pool(
             (gmid * area >= sums) & rin & cin, 0.0, 1.0
         )
         inside_i = rin.astype(jnp.float32) * cin.astype(jnp.float32)
+        if _stop_after == "black":
+            _stub(black * inside_i)
+            return
 
         # --- opening + near plane as SEPARABLE min/max windows.
         # r rounds of 3x3 erosion == one (2r+1)-square erosion; likewise
@@ -492,6 +690,9 @@ def fused_threshold_open_pool(
 
             blackw = pack_words(blk_bf)
             insw = pack_words(ins_bf)
+            if _stop_after == "pack":
+                _stub(blackw + insw)
+                return
             if r:
                 erw = _win_bits(blackw, (we,), AND)[we]
                 erw = _win_lanes_multi(erw, (we,), AND, roll)[we]
@@ -507,6 +708,9 @@ def fused_threshold_open_pool(
                 _win_bits(lanw[w9], (w9,), OR)[w9],
                 _bits_rsh(insw, r2),
             )
+            if _stop_after == "morph":
+                _stub(opw + nearw)
+                return
             s_open = (
                 _unpack_bits_halving(opw)
                 .astype(jnp.float32)
@@ -625,6 +829,17 @@ def fused_threshold_open_pool(
             out_shapes.append(
                 jax.ShapeDtypeStruct((b, hp // 2, wp // 2), jnp.bfloat16)
             )
+        if fuse_canvas:
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, th, twb),
+                    lambda bi, i, c: (bi, i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            out_shapes.append(
+                jax.ShapeDtypeStruct((b, hp, twb), jnp.uint8)
+            )
     else:
         out_specs = [tile_spec, pool_spec]
         out_shapes = [
@@ -648,7 +863,7 @@ def fused_threshold_open_pool(
             (384, 128), lambda bi, i, c: (0, 0), memory_space=pltpu.VMEM
         ),
     ]
-    operands = [src, band]
+    operands = [grey if fuse_canvas else src, band]
     if emit_packed:
         # Constants for the bit-packed morphology (see kernel):
         #  wpack (16, nrows): rows i / 8+i pack black-plane rows
@@ -744,6 +959,8 @@ def fused_threshold_open_pool(
     if emit_packed:
         packed = outs[1]
         extra = (outs[2],) if emit_level1 else ()
+        if fuse_canvas:
+            src = outs[-1]
         if emit_grey_canvas:
             if squeeze:
                 return (coarse[0], packed[0]) + tuple(

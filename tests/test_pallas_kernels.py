@@ -88,6 +88,41 @@ def test_fused_frontend_level1(shape, rng):
     np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_new))
 
 
+@pytest.mark.parametrize(
+    "shape,ds",
+    [
+        # 8-aligned H / 128-aligned W single-column: the KERNEL-EMITTED
+        # canvas path (fuse_canvas); includes a height not divisible by
+        # the strip height so edge strips exercise the clipped DMAs +
+        # stale-row zeroing.
+        ((2, 720, 1280), 10),
+        ((1, 488, 640), 6),
+        # Unaligned geometry: host-built canvas fallback.
+        ((1, 241, 330), 5),
+    ],
+)
+def test_fused_frontend_grey_canvas(shape, ds, rng):
+    """emit_grey_canvas must return the image at (halo, halo_c) with
+    zeros EVERYWHERE else (the warp kernel's level-0 window DMAs read
+    up to halo+8 rows / 192 lanes past the image and rely on the zero
+    slack), on both the kernel-emitted and host-built canvas paths."""
+    g = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    h, w = shape[1], shape[2]
+    out = fused_threshold_open_pool(
+        jnp.asarray(g), 7, 2, ds, interpret=True, emit_packed=True,
+        emit_grey_canvas=True, emit_level1=True,
+    )
+    src, halo, halo_c = np.asarray(out[3]), out[4], out[5]
+    np.testing.assert_array_equal(
+        src[:, halo : halo + h, halo_c : halo_c + w], g
+    )
+    # Zeros everywhere else: total mass equals the image's.
+    assert src.astype(np.int64).sum() == g.astype(np.int64).sum()
+    # Enough zero slack below the image for the deepest level-0 window.
+    assert src.shape[1] >= h + halo + 8
+    assert src.shape[2] >= halo_c + w + 192
+
+
 def test_fused_frontend_marker_image(rng):
     d = ARDictionary.new_from_named_dict("ARUCO_DEFAULT")
     corners = np.array([[60, 50], [260, 60], [250, 250], [55, 240]], float)

@@ -48,9 +48,36 @@ def main():
     frames = jnp.asarray(
         rng.integers(0, 256, (b, h, w), dtype=np.uint8))
 
+    def prod(f, stop):
+        return fused_threshold_open_pool(
+            f, ds=10, emit_packed=True, emit_grey_canvas=True,
+            emit_level1=True, _stop_after=stop,
+        )
+
+    # Cumulative ladder at the PRODUCTION config: every step keeps the
+    # full output-write traffic (stub blocks), so deltas isolate the
+    # named stage's compute.  "src" is the host-side canvas zeros+DUS
+    # alone (no kernel).
+    ladder = [
+        "src", "dma", "cast", "colsum", "rowsum", "black", "pack",
+        "morph", None,
+    ]
+    if len(sys.argv) > 4:  # probe_frontend.py B H W stage [stage...]
+        ladder = [None if s == "full" else s for s in sys.argv[4:]]
+    prev = 0.0
+    for stop in ladder:
+        jfn = jax.jit(lambda f, s=stop: prod(f, s))
+        ms = timeit(jfn, frames)
+        name = stop or "full"
+        print(
+            f"{name:8s} {ms:7.2f} ms/batch{b}  delta {ms - prev:7.2f}",
+            flush=True,
+        )
+        prev = ms
+
+    if len(sys.argv) > 4:
+        return
     variants = {
-        "full": lambda f: fused_threshold_open_pool(
-            f, ds=10, emit_packed=True, emit_grey_canvas=True),
         "nopack": lambda f: fused_threshold_open_pool(
             f, ds=10, emit_packed=False),
         "thresh": lambda f: fused_threshold_open_pool(

@@ -54,9 +54,21 @@ def check_frontend():
         e2 = np.array_equal(
             packed[:, :h, :w] & 511, np.asarray(pk) & 511
         )
-        print(f"frontend {h}x{w} ds={ds}: coarse={e1} packed={e2}",
-              flush=True)
-        ok = ok and e1 and e2
+        # Canvas: image at (halo, halo_c), zero padding everywhere else
+        # (the fused-canvas path writes it from the kernel).
+        src, hr, hcc = np.asarray(out[3]), out[4], out[5]
+        gnp = np.asarray(g)
+        e3 = np.array_equal(src[:, hr : hr + h, hcc : hcc + w], gnp)
+        e4 = (
+            src.astype(np.int64).sum()
+            == gnp.astype(np.int64).sum()
+        )
+        print(
+            f"frontend {h}x{w} ds={ds}: coarse={e1} packed={e2} "
+            f"canvas={e3 and e4}",
+            flush=True,
+        )
+        ok = ok and e1 and e2 and e3 and e4
     return ok
 
 
