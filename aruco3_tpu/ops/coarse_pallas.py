@@ -69,19 +69,37 @@ def _bit_bwd(wp, s: int):
     return wp
 
 
+def _chain_levels(rp: int, cp: int) -> int:
+    """Live (rp, cp) planes held by the precomputed seg-scan accept
+    chains (both directions, lane + row doubling levels)."""
+    lv = 0
+    s = 1
+    while s < cp:
+        lv += 2
+        s *= 2
+    s = 1
+    while s < rp:
+        lv += 2
+        s *= 2
+    return lv
+
+
 def coarse_fits_vmem(hc: int, wc: int) -> bool:
     """True when the (hc, wc) coarse grid fits the kernel's VMEM budget.
 
-    The scan machinery keeps roughly a dozen (rp, cp) int32 planes live;
-    cap their footprint well under the ~16 MB of VMEM.  Grids beyond this
-    (8K+ frames at small coarse factors) route to the XLA label path
-    (segment.label_planes) instead of failing.
+    The scan machinery keeps roughly a dozen (rp, cp) int32 planes live
+    plus the precomputed seg-scan accept chains (~2 planes per doubling
+    level); cap their footprint under the raised 100 MB scoped-vmem
+    limit with headroom.  Grids beyond this (8K+ frames at small coarse
+    factors) route to the XLA label path (segment.label_planes) instead
+    of failing.
     """
     rp = max(_round_up(hc, 8), 8)
     cp = max(256, _round_up(wc + 1, 128))
     # rp <= 512: the bit-packed flood planes hold the grid rows of one
     # column in at most sixteen 32-bit words.
-    return rp <= 512 and rp * cp * 4 * 12 <= 12 * 1024 * 1024
+    planes = 12 + _chain_levels(rp, cp)
+    return rp <= 512 and rp * cp * 4 * planes <= 48 * 1024 * 1024
 
 
 @functools.partial(
@@ -165,51 +183,83 @@ def coarse_labels(
                 return jnp.concatenate([f, a[: rp - s]], axis=0)
             return jnp.concatenate([a[-s:], f], axis=0)
 
-        def seg_min_lanes(l, m, s_val):
-            lf = jnp.where(m == 1, l, s_val)
-            lb = lf
-            bf = 1 - m
-            bb = bf
+        # Segmented min-scans (Kogge-Stone doubling).  The boundary
+        # tracking depends only on the MASK, never on the evolving label
+        # values: the step-s forward update accepts lane i-s's value iff
+        # lanes (i-s, i] are all in-mask (the classic bf/bb boundary-OR
+        # planes compute exactly this window test).  So the per-level
+        # accept masks are PRECOMPUTED once per label_ccl call and
+        # reused across every CCL round and both scan directions —
+        # bit-exact vs the inline-boundary form (the accepted source
+        # lane i-s itself may be out-of-mask in both forms; it then
+        # holds s_val and the min is a no-op), at ~3 VPU ops per
+        # doubling level instead of ~8.
+        def make_lane_chain(m):
+            wf, wb = [], []
+            cf = m
+            cb = m
             shift = 1
             while shift < cp:
-                # Wrap masks are per-frame (cm): lanes near a frame's
-                # left/right edge must not receive the neighbouring
-                # packed frame's (or the array wrap's) values.
-                sl = roll(lf, shift)
-                sb = roll(bf, shift)
-                wrap = cm < shift
-                sl = jnp.where(wrap, s_val, sl)
-                sb = jnp.maximum(sb, wrap.astype(jnp.int32))
-                lf = jnp.where(bf == 1, lf, jnp.minimum(lf, sl))
-                bf = jnp.maximum(bf, sb)
-
-                sl = roll(lb, -shift)
-                sb = roll(bb, -shift)
-                wrap = cm >= cp - shift
-                sl = jnp.where(wrap, s_val, sl)
-                sb = jnp.maximum(sb, wrap.astype(jnp.int32))
-                lb = jnp.where(bb == 1, lb, jnp.minimum(lb, sl))
-                bb = jnp.maximum(bb, sb)
+                wf.append(cf)
+                wb.append(cb)
+                nf = jnp.where(cm < shift, 0, roll(cf, shift))
+                cf = cf * nf
+                nb = jnp.where(cm >= cp - shift, 0, roll(cb, -shift))
+                cb = cb * nb
                 shift *= 2
-            return jnp.where(m == 1, jnp.minimum(lf, lb), s_val)
+            return wf, wb
 
-        def seg_min_rows(l, m, s_val):
-            lf = jnp.where(m == 1, l, s_val)
-            lb = lf
-            bf = 1 - m
-            bb = bf
+        def make_row_chain(m):
+            wf, wb = [], []
+            cf = m
+            cb = m
             shift = 1
             while shift < rp:
-                sl = shift_rows(lf, shift, s_val)
-                sb = shift_rows(bf, shift, 1)
-                lf = jnp.where(bf == 1, lf, jnp.minimum(lf, sl))
-                bf = jnp.maximum(bf, sb)
-
-                sl = shift_rows(lb, -shift, s_val)
-                sb = shift_rows(bb, -shift, 1)
-                lb = jnp.where(bb == 1, lb, jnp.minimum(lb, sl))
-                bb = jnp.maximum(bb, sb)
+                wf.append(cf)
+                wb.append(cb)
+                cf = cf * shift_rows(cf, shift, 0)
+                cb = cb * shift_rows(cb, -shift, 0)
                 shift *= 2
+            return wf, wb
+
+        def seg_min_lanes(l, m, chain, s_val):
+            wf, wb = chain
+            lf = jnp.where(m == 1, l, s_val)
+            lb = lf
+            shift = 1
+            k = 0
+            while shift < cp:
+                lf = jnp.minimum(
+                    lf, jnp.where(wf[k] == 1, roll(lf, shift), s_val)
+                )
+                lb = jnp.minimum(
+                    lb, jnp.where(wb[k] == 1, roll(lb, -shift), s_val)
+                )
+                shift *= 2
+                k += 1
+            return jnp.where(m == 1, jnp.minimum(lf, lb), s_val)
+
+        def seg_min_rows(l, m, chain, s_val):
+            wf, wb = chain
+            lf = jnp.where(m == 1, l, s_val)
+            lb = lf
+            shift = 1
+            k = 0
+            while shift < rp:
+                lf = jnp.minimum(
+                    lf,
+                    jnp.where(
+                        wf[k] == 1, shift_rows(lf, shift, s_val), s_val
+                    ),
+                )
+                lb = jnp.minimum(
+                    lb,
+                    jnp.where(
+                        wb[k] == 1, shift_rows(lb, -shift, s_val), s_val
+                    ),
+                )
+                shift *= 2
+                k += 1
             return jnp.where(m == 1, jnp.minimum(lf, lb), s_val)
 
         # ------- bit-packed mask domain (floods/dilations) -------
@@ -260,32 +310,50 @@ def coarse_labels(
         def lane_bwd(x, sh):
             return pltpu.roll(x, (-sh) % cp, axis=1) & mbw[sh]
 
-        def fill_lanes_b(F, M):
-            # Complete run-fill of F through M along grid columns:
-            # Kogge-Stone doubling with a propagation mask, forward then
-            # backward (runs are intervals, so the two passes compose).
-            F = F & M
-            for sh in (lane_fwd, lane_bwd):
-                pm = M
-                step = 1
-                while step < cp:
-                    F = F | (sh(F, step) & pm)
-                    pm = pm & sh(pm, step)
-                    step *= 2
-            return F
-
         row_lim = 1
         while row_lim < rp:
             row_lim *= 2
 
-        def fill_rows_b(F, M):
-            F = F & M
-            for sh in (_bit_fwd, _bit_bwd):
+        # The Kogge-Stone propagation masks depend only on the medium
+        # mask M, never on the evolving fill front, so each flood call
+        # computes its doubling chains ONCE and reuses them across every
+        # round (bit-exact refactor of the inline pm updates).
+        def make_fill_chain(M):
+            chain = []
+            for sh, lim in (
+                (lane_fwd, cp),
+                (lane_bwd, cp),
+                (_bit_fwd, row_lim),
+                (_bit_bwd, row_lim),
+            ):
+                pms = []
                 pm = M
                 step = 1
-                while step < row_lim:
-                    F = F | (sh(F, step) & pm)
+                while step < lim:
+                    pms.append(pm)
                     pm = pm & sh(pm, step)
+                    step *= 2
+                chain.append(pms)
+            return chain
+
+        def fill_lanes_b(F, M, chain):
+            # Complete run-fill of F through M along grid columns:
+            # Kogge-Stone doubling with a propagation mask, forward then
+            # backward (runs are intervals, so the two passes compose).
+            F = F & M
+            for sh, pms in ((lane_fwd, chain[0]), (lane_bwd, chain[1])):
+                step = 1
+                for pm in pms:
+                    F = F | (sh(F, step) & pm)
+                    step *= 2
+            return F
+
+        def fill_rows_b(F, M, chain):
+            F = F & M
+            for sh, pms in ((_bit_fwd, chain[2]), (_bit_bwd, chain[3])):
+                step = 1
+                for pm in pms:
+                    F = F | (sh(F, step) & pm)
                     step *= 2
             return F
 
@@ -309,11 +377,14 @@ def coarse_labels(
         def dil8_b(x):
             return x | n8_b(x)
 
-        def rounds_loop(body, init, rounds, min_unroll=2):
-            # On the TPU the rounds are Python-unrolled: a fori_loop
-            # measured ~30-60% slower per round (loop overhead is not
-            # amortized by packing more frames per step — measured 13.2
-            # vs 11.1 ms/batch-128 even at 4 packed frames).  Interpret
+        def rounds_loop(body, init, rounds):
+            # On the TPU the rounds are FULLY Python-unrolled: a
+            # fori_loop measured ~30-60% slower per round, and the old
+            # convergence-skip (lax.cond per round past round 2) is a
+            # net LOSS now that the mask-chain hoisting made rounds
+            # cheap — a Mosaic cond copies its whole carry through both
+            # branches (~2-5 us for an int label plane), more than the
+            # ~0.4 us a converged bit-domain round costs.  Interpret
             # mode (CPU tests) lowers through the XLA CPU backend, where
             # ~45 unrolled rounds x ~300 ops overflow the compiler
             # (segfault) — use fori_loop there; semantics are identical.
@@ -321,37 +392,21 @@ def coarse_labels(
                 return jax.lax.fori_loop(
                     0, rounds, lambda _, c: body(c), init
                 )
-            # Convergence skip: scans/floods are monotone and idempotent
-            # at their fixed point, so once a round changes nothing every
-            # later round is the identity — skipping them at runtime is
-            # EXACT (the XLA reference path runs all rounds and lands on
-            # the same plane).  Most scenes converge in 2-3 rounds of
-            # the 4-6 budgeted for worst-case geometry.
             x = init
-            for _ in range(min(rounds, min_unroll)):
+            for _ in range(rounds):
                 x = body(x)
-            if rounds <= min_unroll:
-                return x
-
-            def do(carry):
-                x, _ = carry
-                nx = body(x)
-                return nx, jnp.any(nx != x)
-
-            carry = (x, jnp.asarray(True))
-            for _ in range(rounds - min_unroll):
-                carry = jax.lax.cond(carry[1], do, lambda c: c, carry)
-            return carry[0]
+            return x
 
         def flood_b(M, seed, rounds, diag=True):
             # One round == the int-domain flood body: one 8-/4-neighbour
             # transport, then COMPLETE run-fills along lanes, then rows
             # (the segmented min-scans' reach, in bitwise form).
             n = n8_b if diag else n4_b
+            chain = make_fill_chain(M)
 
             def body(R):
                 r1 = (R | n(R)) & M
-                return fill_rows_b(fill_lanes_b(r1, M), M)
+                return fill_rows_b(fill_lanes_b(r1, M, chain), M, chain)
 
             return rounds_loop(body, seed & M, rounds)
 
@@ -361,6 +416,8 @@ def coarse_labels(
             # every packed frame, exactly segment.label_components' space.
             idx = riota * cp + cm
             lbl = jnp.where(mask == 1, idx, sent)
+            lane_chain = make_lane_chain(mask)
+            row_chain = make_row_chain(mask)
 
             def neighbor_min(l):
                 h = jnp.minimum(
@@ -377,8 +434,8 @@ def coarse_labels(
 
             def body(l):
                 l = neighbor_min(l)
-                l = seg_min_lanes(l, mask, jnp.int32(sent))
-                return seg_min_rows(l, mask, jnp.int32(sent))
+                l = seg_min_lanes(l, mask, lane_chain, jnp.int32(sent))
+                return seg_min_rows(l, mask, row_chain, jnp.int32(sent))
 
             return rounds_loop(body, lbl, rounds)
 
@@ -431,12 +488,18 @@ def coarse_labels(
 
             carry = (l2, remaining, knownb)
             for depth in range(inner_depths):
-                if depth == 0:
-                    # Depth 0 is nonempty in any scene with candidates.
+                if depth <= 1:
+                    # Depth 0 is nonempty in any scene with candidates,
+                    # and depth 1 is nonempty whenever any marker is
+                    # present (a marker's interior code bits are black
+                    # components enclosed by white that only becomes
+                    # known-outside after the depth-0 peel) — a runtime
+                    # gate would be pure overhead (the Mosaic cond
+                    # copies the ~130 KB carry even when it skips).
                     carry = peel(carry)
                 else:
-                    # Deeper levels exist only for nested markers; skip
-                    # their ~11 scan rounds at runtime when the peel is
+                    # Depth >= 2 exists only for nested markers; skip
+                    # its ~11 scan rounds at runtime when the peel is
                     # already exhausted.  An empty `remaining` makes
                     # peel() a no-op, so the skip is exact.
                     carry = jax.lax.cond(
