@@ -246,16 +246,37 @@ def detect_batch_arrays(
         from .ops.frontend_pallas import fused_threshold_open_pool
 
         if pallas_refine:
-            coarse, packed, level1, grey_src, src_halo_r, src_halo_c = (
-                fused_threshold_open_pool(
-                    grey,
-                    cfg.threshold_window,
-                    params.open_radius,
-                    ds,
-                    emit_packed=True,
-                    emit_grey_canvas=True,
-                    emit_level1=True,
-                )
+            # No u8 grey canvas: warp level-0 windows read the packed
+            # int16 plane directly (bits 0-7 = image-masked grey), so
+            # the pipeline's second-largest write never exists.
+            # min_rows = the deepest aligned row any consumer DMAs:
+            # refine windows, warp level-0 windows (72/80-row reads from
+            # 16-aligned bases), and the level-1 plane's own windows —
+            # the frontend then pads with the fewest zero strips that
+            # cover it instead of a blanket extra strip.
+            h, w = grey.shape[1], grey.shape[2]
+            wn = segment.refine_window_size(params, ds)
+            sh_r = -(-(wn + 15) // 16) * 16
+            need_refine = (max(h - wn, 0) // 16) * 16 + sh_r
+            need_warp = ((max(h, 64) - 64) // 16) * 16 + 80
+            ph0 = max(h + (h % 2), 64)
+            h1 = max(ph0 // 2, 64)
+            need_l1 = 2 * (((h1 - 64) // 16) * 16 + 80)
+            coarse, packed, level1 = fused_threshold_open_pool(
+                grey,
+                cfg.threshold_window,
+                params.open_radius,
+                ds,
+                emit_packed=True,
+                emit_level1=True,
+                min_rows=max(need_refine, need_warp, need_l1),
+            )
+            # The warp kernel DMAs (80, 256) blocks with no bounds
+            # guard; the plane's padding must cover its deepest read.
+            assert packed.shape[1] >= need_warp
+            assert (
+                packed.shape[2]
+                >= (((max(w, 64) - 64) // 64) * 64 // 128) * 128 + 256
             )
         else:
             black, coarse = fused_threshold_open_pool(
@@ -323,8 +344,6 @@ def detect_batch_arrays(
         # resolution (it upsamples per window in VMEM) — merging a
         # full-res bit plane in XLA costs a read-modify-write of the
         # whole packed plane.
-        h, w = grey.shape[1], grey.shape[2]
-        wn = segment.refine_window_size(params, ds)
         quads = refine_corners_batch(
             packed,
             cand["quads"],
@@ -347,9 +366,10 @@ def detect_batch_arrays(
         )
 
         # Homography + warp: batched, windows DMA'd by the warp kernel.
-        # Level-0 windows read the frontend's padded u8 canvas directly;
-        # the bf16 canvas holds levels >= 1 only (75% less assembly
-        # traffic).
+        # Level-0 windows read the packed int16 plane directly (grey in
+        # bits 0-7, zero outside the image — the warp kernel masks off
+        # the near flag); the bf16 canvas holds levels >= 1 only (75%
+        # less assembly traffic).
         s = cfg.homography_sample_size
         H, h_valid = rectify.homography_square_to_quad(quads, s)
         # Level 1 comes precomputed from the frontend kernel (the strips
@@ -373,8 +393,8 @@ def detect_batch_arrays(
             quads,
             s,
             valid=valid & h_valid,
-            src=grey_src,
-            src_halo=(src_halo_r, src_halo_c),
+            src=packed,
+            src_halo=(0, 0),
             image_hw=(h, w),
             l1_plane=level1 if l1_ok else None,
         )

@@ -195,17 +195,22 @@ def coarse_labels(
         # holds s_val and the min is a no-op), at ~3 VPU ops per
         # doubling level instead of ~8.
         def make_lane_chain(m):
+            # 0/1 masks: AND instead of * (int32 vector multiplies are
+            # emulated on the VPU; bitwise ops are native).
             wf, wb = [], []
             cf = m
             cb = m
             shift = 1
             while shift < cp:
-                wf.append(cf)
-                wb.append(cb)
+                # Chains are stored as BOOLEANS so every scan round's
+                # select skips the == compare (chains are built once and
+                # reused across all rounds of a label_ccl call).
+                wf.append(cf != 0)
+                wb.append(cb != 0)
                 nf = jnp.where(cm < shift, 0, roll(cf, shift))
-                cf = cf * nf
+                cf = cf & nf
                 nb = jnp.where(cm >= cp - shift, 0, roll(cb, -shift))
-                cb = cb * nb
+                cb = cb & nb
                 shift *= 2
             return wf, wb
 
@@ -215,33 +220,34 @@ def coarse_labels(
             cb = m
             shift = 1
             while shift < rp:
-                wf.append(cf)
-                wb.append(cb)
-                cf = cf * shift_rows(cf, shift, 0)
-                cb = cb * shift_rows(cb, -shift, 0)
+                wf.append(cf != 0)
+                wb.append(cb != 0)
+                cf = cf & shift_rows(cf, shift, 0)
+                cb = cb & shift_rows(cb, -shift, 0)
                 shift *= 2
             return wf, wb
 
-        def seg_min_lanes(l, m, chain, s_val):
+        def seg_min_lanes(l, mb, chain, s_val):
+            # ``mb`` and the chain levels are booleans (hoisted compares).
             wf, wb = chain
-            lf = jnp.where(m == 1, l, s_val)
+            lf = jnp.where(mb, l, s_val)
             lb = lf
             shift = 1
             k = 0
             while shift < cp:
                 lf = jnp.minimum(
-                    lf, jnp.where(wf[k] == 1, roll(lf, shift), s_val)
+                    lf, jnp.where(wf[k], roll(lf, shift), s_val)
                 )
                 lb = jnp.minimum(
-                    lb, jnp.where(wb[k] == 1, roll(lb, -shift), s_val)
+                    lb, jnp.where(wb[k], roll(lb, -shift), s_val)
                 )
                 shift *= 2
                 k += 1
-            return jnp.where(m == 1, jnp.minimum(lf, lb), s_val)
+            return jnp.where(mb, jnp.minimum(lf, lb), s_val)
 
-        def seg_min_rows(l, m, chain, s_val):
+        def seg_min_rows(l, mb, chain, s_val):
             wf, wb = chain
-            lf = jnp.where(m == 1, l, s_val)
+            lf = jnp.where(mb, l, s_val)
             lb = lf
             shift = 1
             k = 0
@@ -249,18 +255,18 @@ def coarse_labels(
                 lf = jnp.minimum(
                     lf,
                     jnp.where(
-                        wf[k] == 1, shift_rows(lf, shift, s_val), s_val
+                        wf[k], shift_rows(lf, shift, s_val), s_val
                     ),
                 )
                 lb = jnp.minimum(
                     lb,
                     jnp.where(
-                        wb[k] == 1, shift_rows(lb, -shift, s_val), s_val
+                        wb[k], shift_rows(lb, -shift, s_val), s_val
                     ),
                 )
                 shift *= 2
                 k += 1
-            return jnp.where(m == 1, jnp.minimum(lf, lb), s_val)
+            return jnp.where(mb, jnp.minimum(lf, lb), s_val)
 
         # ------- bit-packed mask domain (floods/dilations) -------
         # Masks pack 32 grid ROWS per int32 word (word index in
@@ -420,16 +426,16 @@ def coarse_labels(
             row_chain = make_row_chain(mask)
 
             def neighbor_min(l):
-                h = jnp.minimum(
-                    jnp.minimum(roll(l, 1), l), roll(l, -1)
-                )
-                h = jnp.where(cm == 0, jnp.minimum(l, roll(l, -1)), h)
-                h = jnp.where(
-                    cm == cp - 1, jnp.minimum(l, roll(l, 1)), h
-                )
+                # Horizontal neighbours are deliberately ABSENT: the
+                # lane seg-min that follows takes the min over each
+                # cell's whole lane RUN, which contains every in-mask
+                # lane neighbour (off-mask neighbours hold the sentinel
+                # — every round leaves off-mask cells at s_val — so
+                # they were no-ops in the old 8-neighbour form).
+                # Bit-exact with the previous min(l, l±1lane, l±1row).
                 up = shift_rows(l, 1, sent)
                 dn = shift_rows(l, -1, sent)
-                m = jnp.minimum(jnp.minimum(h, up), dn)
+                m = jnp.minimum(jnp.minimum(l, up), dn)
                 return jnp.where(mask == 1, m, sent)
 
             def body(l):

@@ -226,7 +226,7 @@ def _sliding_sum_rows(x, width: int, n_out: int, base: int):
     jax.jit,
     static_argnames=(
         "window", "open_radius", "ds", "interpret", "emit_packed",
-        "emit_grey_canvas", "emit_level1", "_stop_after",
+        "emit_grey_canvas", "emit_level1", "min_rows", "_stop_after",
     ),
 )
 def fused_threshold_open_pool(
@@ -238,6 +238,7 @@ def fused_threshold_open_pool(
     emit_packed: bool = False,
     emit_grey_canvas: bool = False,
     emit_level1: bool = False,
+    min_rows: int | None = None,
     _stop_after: str | None = None,
 ):
     """(B, H, W) or (H, W) uint8 -> (black (…, H, W) bool,
@@ -301,9 +302,19 @@ def fused_threshold_open_pool(
     # f32 working planes stay comfortably inside VMEM.
     rows_per_strip = 16 if ds * 16 <= 192 else 8
     th = rows_per_strip * ds
-    # One extra zero strip so downstream consumers (refine window DMAs)
-    # can read past round_up(h, th) without touching uninitialised memory.
-    hp = _round_up(h, th) + (th if emit_packed else 0)
+    # Zero padding strips below the image so downstream consumers
+    # (refine/warp window DMAs, the level-1 plane) can read past the
+    # image without touching uninitialised memory.  ``min_rows`` (from
+    # the detector, which knows every consumer's deepest aligned read)
+    # adds only the strips actually needed — often none, the round-up
+    # slack suffices; without it one full extra strip is added (the
+    # conservative pre-round-3 behaviour for callers that don't say).
+    hp = _round_up(h, th)
+    if emit_packed:
+        if min_rows is None:
+            hp += th
+        else:
+            hp = max(hp, _round_up(min_rows, th))
     halo_c = _round_up(halo, 128)
     # Column tiles bound VMEM for wide (4K+) frames.  The output width is
     # a multiple of the tile width and includes >=128 zero columns on the
@@ -331,23 +342,27 @@ def fused_threshold_open_pool(
     # columns each side of the tile.
     twb = tw + 2 * halo_c
 
-    # Fused canvas: read the RAW grey frame with clipped strip DMAs and
-    # emit the zero-padded u8 canvas as a kernel OUTPUT, instead of
-    # building it host-side with zeros+dynamic_update_slice (measured
-    # 4.7 ms/batch-128 at 1080p — pure HBM traffic, 14% of the whole
-    # pipeline).  The scratch strip already IS the canvas block for its
-    # rows (image at row/col offset (halo, halo_c) of the strip), so
-    # the output write is a VMEM slice copy.  Single-column geometries
-    # with 8-aligned heights and 128-aligned widths only (covers VGA/
-    # 720p/1080p; clipped row DMAs need 8-aligned extents and the
-    # canvas block must span the full padded width); everything else
-    # keeps the host-built canvas.
+    # Fused input: read the RAW grey frame with clipped strip DMAs
+    # instead of building a zero-padded canvas host-side with
+    # zeros+dynamic_update_slice (measured 4.7 ms/batch-128 at 1080p —
+    # pure HBM traffic, 14% of the whole pipeline).  Single-column
+    # geometries with 8-aligned heights and 128-aligned widths only
+    # (covers VGA/720p/1080p; clipped row DMAs need 8-aligned extents);
+    # everything else keeps the host-built padded input.
+    #
+    # Fused canvas (``emit_grey_canvas`` on a fused-input geometry):
+    # additionally emit the zero-padded u8 canvas as a kernel OUTPUT —
+    # the scratch strip already IS the canvas block for its rows (image
+    # at row/col offset (halo, halo_c) of the strip), so the output
+    # write is a VMEM slice copy.  The batched detector no longer needs
+    # this (warp level-0 windows read the packed plane directly); it
+    # survives for callers that want a padded u8 grey canvas for free.
+    fuse_geometry = (
+        emit_packed and n_cols == 1 and h % 8 == 0 and w % 128 == 0
+    )
     fuse_canvas = (
-        emit_packed
+        fuse_geometry
         and emit_grey_canvas
-        and n_cols == 1
-        and h % 8 == 0
-        and w % 128 == 0
         # The fused canvas is n_strips*TH rows (vs Hp+2*halo+8 host-
         # built): the warp kernel's level-0 window DMA reads up to row
         # h + halo + 8 (72-row read from the 8-aligned base of the
@@ -355,7 +370,10 @@ def fused_threshold_open_pool(
         # extra zero strip must be at least halo + 8 rows tall.
         and th >= halo + 8
     )
-    if fuse_canvas:
+    # Clipped raw-frame input whenever the canvas question doesn't force
+    # the host-built path (emit_grey_canvas wanted but un-fusable).
+    fuse_input = fuse_canvas or (fuse_geometry and not emit_grey_canvas)
+    if fuse_input:
         src = None
         if _stop_after == "src":  # no host canvas pass in this config
             return grey
@@ -413,7 +431,7 @@ def fused_threshold_open_pool(
             sbi = step_idx // (n_strips * n_cols)
             rem = step_idx % (n_strips * n_cols)
             si = rem // n_cols
-            if not fuse_canvas:
+            if not fuse_input:
                 sc = rem % n_cols
                 cp_ = pltpu.make_async_copy(
                     src_hbm.at[
@@ -505,7 +523,7 @@ def fused_threshold_open_pool(
 
         @pl.when(step == 0)
         def _():
-            if fuse_canvas:
+            if fuse_input:
                 zero_full(slot)
             strip_dma(step, slot)
 
@@ -513,7 +531,7 @@ def fused_threshold_open_pool(
 
         @pl.when(step < last)
         def _():
-            if fuse_canvas:
+            if fuse_input:
 
                 @pl.when(step == 0)
                 def _():
@@ -863,7 +881,7 @@ def fused_threshold_open_pool(
             (384, 128), lambda bi, i, c: (0, 0), memory_space=pltpu.VMEM
         ),
     ]
-    operands = [grey if fuse_canvas else src, band]
+    operands = [grey if fuse_input else src, band]
     if emit_packed:
         # Constants for the bit-packed morphology (see kernel):
         #  wpack (16, nrows): rows i / 8+i pack black-plane rows

@@ -121,6 +121,14 @@ def test_fused_frontend_grey_canvas(shape, ds, rng):
     # Enough zero slack below the image for the deepest level-0 window.
     assert src.shape[1] >= h + halo + 8
     assert src.shape[2] >= halo_c + w + 192
+    # The canvas-free production variant (fuse_input without canvas_ref)
+    # must produce identical coarse/packed/level-1 outputs.
+    out2 = fused_threshold_open_pool(
+        jnp.asarray(g), 7, 2, ds, interpret=True, emit_packed=True,
+        emit_level1=True,
+    )
+    for a, bb in zip(out2[:3], out[:3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
 
 
 def test_fused_frontend_marker_image(rng):
@@ -392,6 +400,19 @@ def test_warp_dma_l1_direct(rng):
         )
     )
     assert np.array_equal(base_out, l1_out)
+
+    # Production level-0 source: the int16 packed plane (grey in bits
+    # 0-7, image at (0, 0), zero outside the image; the warp kernel
+    # masks off the near flag) must reproduce the u8-canvas warp
+    # bit-for-bit — this is the detector's configuration.
+    packed = out[1]
+    pk_out = np.asarray(
+        rectify.warp_patches_dma(
+            canvas1, off1, shp1, H, quads, S, l1_plane=level1,
+            src=packed, src_halo=(0, 0), image_hw=(h, w), interpret=True,
+        )
+    )
+    assert np.array_equal(l1_out, pk_out)
 
     ref = np.stack(
         [

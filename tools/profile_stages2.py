@@ -44,11 +44,9 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
     def fn(images):
         acc = []
         grey = frontend.rgb_to_luma_u8(images)
-        coarse, packed, level1, grey_src, halo_r, halo_c = (
-            fused_threshold_open_pool(
-                grey, cfg.threshold_window, params.open_radius, ds,
-                emit_packed=True, emit_grey_canvas=True, emit_level1=True,
-            )
+        coarse, packed, level1 = fused_threshold_open_pool(
+            grey, cfg.threshold_window, params.open_radius, ds,
+            emit_packed=True, emit_level1=True,
         )
         acc.append(jnp.sum(coarse.astype(jnp.int32)))
         acc.append(jnp.sum(packed[:, ::97, ::97]))
@@ -120,7 +118,7 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
         if upto >= 8:
             patches = rectify.warp_patches_dma(
                 canvas, offsets, shapes, H, quads, s, valid=valid & h_valid,
-                src=grey_src, src_halo=(halo_r, halo_c), image_hw=(h, w),
+                src=packed, src_halo=(0, 0), image_hw=(h, w),
                 l1_plane=level1 if l1_ok else None,
             )
             acc.append(jnp.sum(patches))

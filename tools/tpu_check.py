@@ -63,12 +63,21 @@ def check_frontend():
             src.astype(np.int64).sum()
             == gnp.astype(np.int64).sum()
         )
+        # Production variant: no canvas output (the detector's warp
+        # reads level 0 from the packed plane) — the kernel body
+        # differs (fuse_input without canvas_ref), so check it too.
+        out2 = fused_threshold_open_pool(
+            g, 7, 2, ds, emit_packed=True, emit_level1=True
+        )
+        e5 = np.array_equal(np.asarray(out2[0]), coarse)
+        e6 = np.array_equal(np.asarray(out2[1]), packed)
+        e7 = np.array_equal(np.asarray(out2[2]), np.asarray(out[2]))
         print(
             f"frontend {h}x{w} ds={ds}: coarse={e1} packed={e2} "
-            f"canvas={e3 and e4}",
+            f"canvas={e3 and e4} nocanvas={e5 and e6 and e7}",
             flush=True,
         )
-        ok = ok and e1 and e2 and e3 and e4
+        ok = ok and e1 and e2 and e3 and e4 and e5 and e6 and e7
     return ok
 
 
@@ -170,6 +179,7 @@ def check_warp():
         emit_level1=True,
     )
     level1, src, hr, hc_ = out[2], out[3], out[4], out[5]
+    packed = out[1]
     kwargs = dict(src=src, src_halo=(hr, hc_), image_hw=(h, w))
     c0, o0, s0 = rectify.build_packed_pyramid(
         grey, levels, skip_level0=True, level1=level1
@@ -186,6 +196,15 @@ def check_warp():
         )
     )
     e1 = np.array_equal(a, bb)
+    # Production level-0 source: the int16 packed plane (grey in bits
+    # 0-7, image at (0, 0)) must reproduce the u8-canvas warp exactly.
+    cc = np.asarray(
+        rectify.warp_patches_dma(
+            c1, o1, s1, H, quads, S, l1_plane=level1,
+            src=packed, src_halo=(0, 0), image_hw=(h, w),
+        )
+    )
+    e1 = e1 and np.array_equal(bb, cc)
     ref = np.stack(
         [
             np.asarray(
