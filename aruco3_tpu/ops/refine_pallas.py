@@ -1,12 +1,24 @@
-"""Pallas corner-refinement kernel: per-corner window gather + argmax.
+"""Pallas corner-refinement kernel: plane-resident window extraction.
 
 The XLA refinement (segment.refine_corners) extracts K*4 dynamic windows
 per frame from the packed grey/ink plane; vmapped dynamic_slice lowers to
 row gathers whose per-row latency dominates the stage (~20 ms of the
-1080p batch-64 profile).  This kernel instead DMAs each window from HBM
-explicitly — G windows per grid step, double-buffered across steps so the
-copies hide behind compute — and reduces each window to its refined
-corner entirely in VMEM.  Only 3 scalars per window return to HBM.
+1080p batch-64 profile).  The round-2 kernel replaced the gathers with
+one explicit HBM DMA per window, which made the stage DMA-ISSUE-bound
+instead (~1.2 us per window x ~4-5k valid windows ~= the whole stage).
+
+This kernel removes the per-window DMAs entirely: the grid walks frames,
+Pallas streams each frame's whole packed plane into VMEM (one bulk copy,
+double-buffered across grid steps so it hides behind the previous
+frame's compute), and every window is then an in-VMEM dynamic slice —
+no DMA issue cost, no per-window HBM round-trip.
+
+The per-window loop is a fori_loop (compiles once; windows are
+data-indexed) with a per-window KIND code: invalid windows skip all
+compute, and outer windows skip the inner-footprint upsample matmuls.
+(Host-side sorting into valid-first runs with dynamic trip counts was
+measured a wash: the argsort/gather XLA glue cost what the skipped
+loop iterations saved.)
 
 Numerics match segment.refine_corners exactly: same local-mean ink test,
 same clamp box, same first-maximum (row-major) tie-break.
@@ -18,7 +30,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -27,153 +38,109 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-_G = 8  # windows per grid step (DMA pipeline width)
-
-
 @functools.partial(
     jax.jit, static_argnames=("wn", "clamp_r", "ds", "interpret")
 )
 def refine_eval(
     packed: jnp.ndarray,  # (B, Hp, Wp) int16/int32, aligned rows/lanes
     inner_plane: jnp.ndarray,  # (B, Hcp, Wcp) int32 coarse inner footprint
-    bidx: jnp.ndarray,  # (N,) int32 frame index per window
-    tly: jnp.ndarray,  # (N,) int32 window top (in-bounds for wn)
-    tlx: jnp.ndarray,  # (N,) int32 window left
-    dirs: jnp.ndarray,  # (N, 2) float32 outward corner direction
-    corners: jnp.ndarray,  # (N, 2) float32 coarse corner (x, y)
-    inner: jnp.ndarray,  # (N,) bool — restrict ink to the inner footprint
-    valid: jnp.ndarray,  # (N,) bool — invalid windows skip their DMA
+    tly: jnp.ndarray,  # (B, K4) int32 window top (in-bounds for wn)
+    tlx: jnp.ndarray,  # (B, K4) int32 window left
+    dirs: jnp.ndarray,  # (B, K4, 2) float32 outward corner direction
+    corners: jnp.ndarray,  # (B, K4, 2) float32 coarse corner (x, y)
+    inner: jnp.ndarray,  # (B, K4) bool — restrict ink to the inner footprint
+    valid: jnp.ndarray,  # (B, K4) bool — invalid windows skip all compute
     wn: int,
     clamp_r: int,
     ds: int,
     interpret: bool = False,
 ):
-    """Refined corners for N windows.
+    """Refined corners for the B*K4 windows.
 
-    Returns (x (N,), y (N,), has (N,) bool); outputs of invalid windows
-    are garbage — mask with ``valid`` downstream.  ``packed`` must be
-    padded so [align8(tly), +SH) x [align128(tlx), +SW) stays in bounds,
-    with pad pixels carrying zero mask bits.
-
-    Inner-lane windows additionally AND their ink with the coarse inner
-    footprint, upsampled in-kernel from the per-frame ``inner_plane``
-    block via separable one-hot matmuls — merging a full-resolution bit
-    plane in XLA costs a ~10 ms read-modify-write of the packed plane.
-    N must be arranged so each group of _G windows shares one frame.
+    Returns (x, y (B, K4) f32, has (B, K4) bool); outputs of invalid
+    windows are garbage — mask with ``valid`` downstream.  ``packed``
+    must be padded so [align(tly), +SH) x [align128(tlx), +SW) stays in
+    bounds, with pad pixels carrying zero mask bits.
     """
-    n = tly.shape[0]
-    npad = _round_up(max(n, _G), _G)
+    b, k4 = tly.shape
     # Row alignment follows the plane dtype: int16 tiles are (16, 128),
     # int32 tiles (8, 128).
     align = 16 if packed.dtype == jnp.int16 else 8
     sh = _round_up(wn + align - 1, align)
     sw = _round_up(wn + 127, 128)
+    hp, wp = packed.shape[1], packed.shape[2]
     hcp, wcp = inner_plane.shape[1], inner_plane.shape[2]
-
-    by = (tly // align) * align
-    bx = (tlx // 128) * 128
+    k4p = _round_up(k4, 8)
 
     def padi(a):
-        return jnp.zeros((npad,), jnp.int32).at[:n].set(a.astype(jnp.int32))
+        out = jnp.zeros((b, k4p), jnp.int32)
+        return out.at[:, :k4].set(a.astype(jnp.int32))
 
-    bidx_p = padi(bidx)
-    by_p = padi(by)
-    bx_p = padi(bx)
-    valid_p = padi(valid)
+    by_s = padi((tly // align) * align)
+    bx_s = padi((tlx // 128) * 128)
+    ty_s = padi(tly)
+    tx_s = padi(tlx)
+    # 0 = invalid (skip everything), 1 = valid outer (skip the
+    # footprint-upsample matmuls), 2 = valid inner.
+    kind_s = padi(
+        jnp.where(valid, jnp.where(inner, 2, 1), 0).astype(jnp.int32)
+    )
 
-    params = jnp.zeros((npad, 128), jnp.float32)
-    params = params.at[:n, 0].set(dirs[:, 0])
-    params = params.at[:n, 1].set(dirs[:, 1])
-    params = params.at[:n, 2].set(corners[:, 0])
-    params = params.at[:n, 3].set(corners[:, 1])
-    params = params.at[:n, 4].set(inner.astype(jnp.float32))
-    params = params.at[:n, 5].set(tly.astype(jnp.float32))
-    params = params.at[:n, 6].set(tlx.astype(jnp.float32))
-
-    grid = (npad // _G,)
+    # Per-window float parameters ride one (1, K4P, 128) f32 VMEM block
+    # per frame; rows are read with a dynamic sublane index in the loop.
+    params = jnp.zeros((b, k4p, 128), jnp.float32)
+    params = params.at[:, :k4, 0].set(dirs[..., 0])
+    params = params.at[:, :k4, 1].set(dirs[..., 1])
+    params = params.at[:, :k4, 2].set(corners[..., 0])
+    params = params.at[:, :k4, 3].set(corners[..., 1])
 
     def kernel(
-        bidx_ref, by_ref, bx_ref, valid_ref, params_ref, inner_ref,
-        packed_ref, out_ref, scratch, sems,
+        kind_ref, by_ref, bx_ref, ty_ref, tx_ref,
+        params_ref, inner_ref, plane_ref, out_ref,
     ):
         i = pl.program_id(0)
-        nsteps = pl.num_programs(0)
-
-        def dma(step, slot, g):
-            widx = step * _G + g
-            return pltpu.make_async_copy(
-                packed_ref.at[
-                    bidx_ref[widx],
-                    pl.ds(pl.multiple_of(by_ref[widx], align), sh),
-                    pl.ds(pl.multiple_of(bx_ref[widx], 128), sw),
-                ],
-                scratch.at[slot, g],
-                sems.at[slot, g],
-            )
-
-        def start_group(step, slot):
-            # Invalid lanes skip their DMA — the issue overhead, not the
-            # bytes, dominates this kernel, and most candidate lanes are
-            # invalid in typical frames.
-            for g in range(_G):
-
-                @pl.when(valid_ref[step * _G + g] != 0)
-                def _():
-                    dma(step, slot, g).start()
-
-        slot = i % 2
-
-        @pl.when(i == 0)
-        def _():
-            start_group(0, 0)
-
-        @pl.when(i + 1 < nsteps)
-        def _():
-            start_group(i + 1, 1 - slot)
-
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (sh, sw), 0)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (sh, sw), 1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         inv_area = 1.0 / float(wn * wn)
         inner_bf = inner_ref[0].astype(jnp.bfloat16)  # (hcp, wcp)
 
-        for g in range(_G):
-            # Invalid windows skip compute as well as their DMA (their out
-            # rows are garbage, masked downstream): the per-window
-            # upsample contractions and reductions dominate this kernel
-            # and most candidate lanes are invalid in typical frames.
-            @pl.when(valid_ref[i * _G + g] != 0)
-            def _():
-                dma(i, slot, g).wait()
-
-                win = scratch[slot, g].astype(jnp.int32)  # (sh, sw)
-                widx = i * _G + g
-                p = params_ref[g]
-                dirx, diry = p[0], p[1]
-                cx, cy = p[2], p[3]
-                is_inner = p[4] > 0.5
-                ty = p[5].astype(jnp.int32)
-                tx = p[6].astype(jnp.int32)
-                byv = by_ref[widx]
-                bxv = bx_ref[widx]
-                rows = rows_i + byv
-                cols = cols_i + bxv
-                sel = (
-                    (rows >= ty)
-                    & (rows < ty + wn)
-                    & (cols >= tx)
-                    & (cols < tx + wn)
+        def window(j, with_inner):
+            p = params_ref[0, j]
+            dirx, diry = p[0], p[1]
+            cx, cy = p[2], p[3]
+            ty = ty_ref[i, j]
+            tx = tx_ref[i, j]
+            byv = by_ref[i, j]
+            bxv = bx_ref[i, j]
+            win = plane_ref[
+                0,
+                pl.ds(pl.multiple_of(byv, align), sh),
+                pl.ds(pl.multiple_of(bxv, 128), sw),
+            ].astype(jnp.int32)
+            rows = rows_i + byv
+            cols = cols_i + bxv
+            sel = (
+                (rows >= ty)
+                & (rows < ty + wn)
+                & (cols >= tx)
+                & (cols < tx + wn)
+            )
+            near8 = (win >> 8) & 1  # int 0/1: Mosaic has no i1 select
+            if with_inner:
+                # Upsample the coarse footprint over this window with
+                # two one-hot contractions (row-, col-cells).
+                rr = byv + jax.lax.broadcasted_iota(
+                    jnp.int32, (sh, 1), 0
                 )
-                near8 = (win >> 8) & 1
-                # Inner lanes: upsample the coarse footprint over this
-                # window with two one-hot contractions (row-, col-cells).
-                rr = byv + jax.lax.broadcasted_iota(jnp.int32, (sh, 1), 0)
                 cellr = rr // ds
                 rsel = (
                     cellr
                     == jax.lax.broadcasted_iota(jnp.int32, (1, hcp), 1)
                 ).astype(jnp.bfloat16)  # (sh, hcp)
-                cc = bxv + jax.lax.broadcasted_iota(jnp.int32, (1, sw), 1)
+                cc = bxv + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, sw), 1
+                )
                 cellc = cc // ds  # (1, sw)
                 csel = (
                     jax.lax.broadcasted_iota(jnp.int32, (wcp, sw), 0)
@@ -187,70 +154,98 @@ def refine_eval(
                     preferred_element_type=jnp.float32,
                 )  # (sh, sw)
                 up9 = (up > 0.5).astype(jnp.int32)
-                near = jnp.where(is_inner, near8 & up9, near8) == 1
-                g8 = (win & 255).astype(jnp.float32)
-                mean = jnp.sum(jnp.where(sel, g8, 0.0)) * inv_area
-                ink = (g8 < mean) & near
-                rf = rows.astype(jnp.float32)
-                cf = cols.astype(jnp.float32)
-                near_c = (jnp.abs(cf - cx) <= clamp_r) & (
-                    jnp.abs(rf - cy) <= clamp_r
-                )
-                ok = ink & near_c & sel
-                score = jnp.where(ok, cf * dirx + rf * diry, -jnp.inf)
-                m = jnp.max(score)
-                has = m > -jnp.inf
-                # First maximum in window row-major order == min linear
-                # index among maxima (matches jnp.argmax in the XLA path).
-                lin = rows_i * sw + cols_i
-                cand = jnp.where(score == m, lin, jnp.int32(sh * sw))
-                li = jnp.min(cand)
-                bestx = (bxv + li % sw).astype(jnp.float32)
-                besty = (byv + li // sw).astype(jnp.float32)
-                row = jnp.where(
-                    lane == 0,
-                    bestx,
-                    jnp.where(
-                        lane == 1,
-                        besty,
-                        jnp.where(
-                            lane == 2, has.astype(jnp.float32), 0.0
-                        ),
-                    ),
-                )
-                out_ref[g] = row[0]
+                near = (near8 & up9) == 1
+            else:
+                near = near8 == 1
+            g8 = (win & 255).astype(jnp.float32)
+            mean = jnp.sum(jnp.where(sel, g8, 0.0)) * inv_area
+            ink = (g8 < mean) & near
+            rf = rows.astype(jnp.float32)
+            cf = cols.astype(jnp.float32)
+            near_c = (jnp.abs(cf - cx) <= clamp_r) & (
+                jnp.abs(rf - cy) <= clamp_r
+            )
+            ok = ink & near_c & sel
+            score = jnp.where(ok, cf * dirx + rf * diry, -jnp.inf)
+            m = jnp.max(score)
+            has = m > -jnp.inf
+            # First maximum in window row-major order == min linear
+            # index among maxima (matches jnp.argmax in the XLA path).
+            lin = rows_i * sw + cols_i
+            cand = jnp.where(score == m, lin, jnp.int32(sh * sw))
+            li = jnp.min(cand)
+            bestx = (bxv + li % sw).astype(jnp.float32)
+            besty = (byv + li // sw).astype(jnp.float32)
+            return jnp.where(
+                lane == 0,
+                bestx,
+                jnp.where(
+                    lane == 1,
+                    besty,
+                    jnp.where(lane == 2, has.astype(jnp.float32), 0.0),
+                ),
+            )[0]
 
+        def body(j, carry):
+            # Invalid windows skip extraction and compute entirely;
+            # outer windows skip the upsample matmuls (the two bodies
+            # are compiled once — the loop is data-indexed).
+            k = kind_ref[i, j]
+
+            @pl.when(k == 1)
+            def _():
+                out_ref[0, j] = window(j, with_inner=False)
+
+            @pl.when(k == 2)
+            def _():
+                out_ref[0, j] = window(j, with_inner=True)
+
+            return carry
+
+        jax.lax.fori_loop(0, k4p, body, 0)
+
+    # One frame per grid step: Pallas streams the frame's whole packed
+    # plane into VMEM (double-buffered across steps), so every window is
+    # an in-VMEM slice.  VMEM: 2 plane buffers + params/inner/out.
+    plane_mb = 2 * hp * wp * packed.dtype.itemsize // (1024 * 1024)
+    limit = (plane_mb + 24) * 1024 * 1024
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
-            grid=grid,
+            num_scalar_prefetch=5,
+            grid=(b,),
             in_specs=[
                 pl.BlockSpec(
-                    (_G, 128),
-                    lambda i, *_refs: (i, 0),
+                    (1, k4p, 128),
+                    lambda i, *_refs: (i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
                     (1, hcp, wcp),
-                    lambda i, bidx_ref, *_refs: (bidx_ref[i * _G], 0, 0),
+                    lambda i, *_refs: (i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(
+                    (1, hp, wp),
+                    lambda i, *_refs: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
             ],
             out_specs=pl.BlockSpec(
-                (_G, 128), lambda i, *_refs: (i, 0), memory_space=pltpu.VMEM
+                (1, k4p, 128),
+                lambda i, *_refs: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
-            scratch_shapes=[
-                pltpu.VMEM((2, _G, sh, sw), packed.dtype),
-                pltpu.SemaphoreType.DMA((2, _G)),
-            ],
         ),
-        out_shape=jax.ShapeDtypeStruct((npad, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, k4p, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=limit),
         interpret=interpret,
-    )(bidx_p, by_p, bx_p, valid_p, params, inner_plane, packed)
+    )(
+        kind_s, by_s, bx_s, ty_s, tx_s,
+        params, inner_plane, packed,
+    )
 
-    return out[:n, 0], out[:n, 1], out[:n, 2] > 0.5
+    return out[:, :k4, 0], out[:, :k4, 1], out[:, :k4, 2] > 0.5
 
 
 def refine_corners_batch(
@@ -270,7 +265,7 @@ def refine_corners_batch(
     ``packed`` may be larger than the image (e.g. the fused frontend's
     padded plane); pass ``image_hw`` in that case.  Padding must carry
     zero mask bits.  If the plane is too small for the aligned window
-    DMAs it is re-padded here.
+    slices it is re-padded here.
     """
     b = packed.shape[0]
     h, w = image_hw or packed.shape[1:]
@@ -279,7 +274,8 @@ def refine_corners_batch(
     align = 16 if packed.dtype == jnp.int16 else 8
     sh = _round_up(wn + align - 1, align)
     sw = _round_up(wn + 127, 128)
-    # Aligned window DMAs reach at most [align(h-wn)+sh, align128(w-wn)+sw).
+    # Aligned window slices reach at most
+    # [align(h-wn)+sh, align128(w-wn)+sw).
     need_h = (max(h - wn, 0) // align) * align + sh
     need_w = (max(w - wn, 0) // 128) * 128 + sw
     if packed.shape[1] >= need_h and packed.shape[2] >= need_w:
@@ -312,42 +308,21 @@ def refine_corners_batch(
     )
     valid4 = jnp.broadcast_to(valid[:, :, None], (b, k, 4))
 
-    # Each _G-window DMA group must stay within one frame (the kernel's
-    # inner-plane block is chosen per group), so pad each frame's window
-    # list to a multiple of _G with invalid (DMA-skipped) lanes.  Handles
-    # any max_candidates, odd ones included.
     k4 = k * 4
-    k4p = _round_up(k4, _G)
-    extra = k4p - k4
-
-    def frame_pad(a, fill=0):
-        a = a.reshape((b, k4) + a.shape[1:])
-        if extra:
-            pad_width = [(0, 0), (0, extra)] + [(0, 0)] * (a.ndim - 2)
-            a = jnp.pad(a, pad_width, constant_values=fill)
-        return a.reshape((b * k4p,) + a.shape[2:])
-
-    bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k4p)
     x, y, has = refine_eval(
         pad,
         iplane,
-        bidx,
-        frame_pad(tly.reshape(b * k4)),
-        frame_pad(tlx.reshape(b * k4)),
-        frame_pad(dirs.reshape(b * k4, 2)),
-        frame_pad(quads.reshape(b * k4, 2)),
-        frame_pad(
-            jnp.broadcast_to(is_inner[:, :, None], (b, k, 4)).reshape(b * k4)
-        ),
-        frame_pad(valid4.reshape(b * k4)),
+        tly.reshape(b, k4),
+        tlx.reshape(b, k4),
+        dirs.reshape(b, k4, 2),
+        quads.reshape(b, k4, 2),
+        jnp.broadcast_to(is_inner[:, :, None], (b, k, 4)).reshape(b, k4),
+        valid4.reshape(b, k4),
         wn,
         clamp_r,
         ds,
         interpret=interpret,
     )
-    x = x.reshape(b, k4p)[:, :k4]
-    y = y.reshape(b, k4p)[:, :k4]
-    has = has.reshape(b, k4p)[:, :k4]
     refined = jnp.stack([x, y], axis=-1).reshape(b, k, 4, 2)
     hasr = has.reshape(b, k, 4) & valid4  # invalid lanes carry garbage
     return jnp.where(hasr[..., None], refined, quads)

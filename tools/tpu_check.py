@@ -159,6 +159,50 @@ def check_fit():
     return ok
 
 
+def check_refine():
+    import jax
+    import jax.numpy as jnp
+
+    from aruco3_tpu import segment
+    from aruco3_tpu.ops.refine_pallas import refine_corners_batch
+
+    rng = np.random.default_rng(9)
+    ok = True
+    # (b, k, h, w, ds): headline-ish, odd lane count, small frame
+    for b, k, h, w, ds in [(2, 44, 1080, 1920, 10), (2, 5, 160, 256, 8)]:
+        wn = segment.refine_window_size(segment.QuadParams(), ds)
+        grey = jnp.asarray(
+            rng.integers(0, 256, (b, h, w), dtype=np.uint8)
+        )
+        black = jnp.asarray(rng.random((b, h, w)) < 0.3)
+        hc, wc = -(-h // ds), -(-w // ds)
+        inner_coarse = jnp.asarray(rng.random((b, hc, wc)) < 0.5)
+        quads = jnp.asarray(
+            rng.uniform(10, min(h, w) - 40, (b, k, 4, 2)).astype(
+                np.float32
+            )
+        )
+        cents = jnp.mean(quads, axis=2)
+        is_inner = jnp.asarray(rng.random((b, k)) < 0.5)
+        ref = jax.vmap(
+            lambda bl, q, c, g, ic, ii: segment.refine_corners(
+                bl, q, c, ds, wn, grey=g, inner_coarse=ic, is_inner=ii
+            )
+        )(black, quads, cents, grey, inner_coarse, is_inner)
+        zero_ic = jnp.zeros_like(inner_coarse)
+        packed = jax.vmap(
+            lambda g, bl, ic: segment.build_packed_plane(g, bl, ic, ds)
+        )(grey, black, zero_ic)
+        got = refine_corners_batch(
+            packed.astype(jnp.int16), quads, cents, is_inner, ds, wn,
+            inner_coarse=inner_coarse,
+        )
+        e = np.array_equal(np.asarray(got), np.asarray(ref))
+        print(f"refine b={b} k={k} {h}x{w} ds={ds}: ok={e}", flush=True)
+        ok = ok and e
+    return ok
+
+
 def check_warp():
     import jax.numpy as jnp
 
@@ -223,11 +267,12 @@ def check_warp():
 
 
 def main():
-    which = sys.argv[1:] or ["frontend", "coarse", "fit", "warp"]
+    which = sys.argv[1:] or ["frontend", "coarse", "fit", "refine", "warp"]
     checks = {
         "frontend": check_frontend,
         "coarse": check_coarse,
         "fit": check_fit,
+        "refine": check_refine,
         "warp": check_warp,
     }
     ok = True
