@@ -58,7 +58,7 @@ class DetectorConfig:
     max_candidates: int = 32
     max_inner_candidates: int = 12  # hole-border pass lanes (0 disables)
     coarse_factor: int | None = None  # None = auto from image size
-    ccl_rounds: int = 4
+    ccl_rounds: int = 3
     refine_corners: bool = True
     warp_impl: str = "mxu"  # "mxu" (pyramid+matmul) | "gather" (oracle)
     use_pallas: str = "auto"  # "auto" | "never" (frontend kernel selection)

@@ -113,9 +113,15 @@ def rank_roots_kernel(
             sh *= 2
         rank = pref + (rpref - rowtot) - 1
 
+        # Rank indexed at roots only, -1 elsewhere: the loop body then
+        # tests one plane equality instead of two (every cell between
+        # two roots carries the same cumsum value, so the bare rank
+        # plane is ambiguous without the root mask).
+        ranked = jnp.where(is_root == 1, rank, -1)
+
         def body(r, carry):
             roots_v, sizes_v = carry
-            hit = (rank == r) & (is_root == 1)
+            hit = ranked == r
             root_r = jnp.min(jnp.where(hit, lin, p))
             size_r = jnp.sum((lab == root_r).astype(jnp.int32))
             roots_v = jnp.where(
@@ -222,6 +228,15 @@ def fit_lanes_kernel(
                     cand = jnp.where(s == m, lin, jnp.int32(p))
                     return jnp.min(cand)
 
+                def amin(score):
+                    # First minimum == fit_quads' argmax of -score (the
+                    # set of minima of score IS the set of maxima of
+                    # -score; negation is sign-exact).
+                    s = jnp.where(member, score, jnp.inf)
+                    m = jnp.min(s)
+                    cand = jnp.where(s == m, lin, jnp.int32(p))
+                    return jnp.min(cand)
+
                 def cx_of(i):
                     return (i % wc).astype(jnp.float32) * ds + cxs
 
@@ -238,12 +253,16 @@ def fit_lanes_kernel(
                 dy = qcy - ay
                 cross = (cxp - ax) * dy - (cyp - ay) * dx
                 ib = amax(cross)
-                idd = amax(-cross)
+                idd = amin(cross)  # == amax(-cross), one plane op less
                 bx, by = cx_of(ib), cy_of(ib)
                 ddx, ddy = cx_of(idd), cy_of(idd)
 
                 # Containment: fit_quads' edge chain (edges A->B->C->D
-                # ->A, shoelace sign, per-edge slack*len margin).
+                # ->A, shoelace sign, per-edge slack*len margin), in
+                # the EXPANDED per-edge form cyp*a - cxp*b + c0 with
+                # the shoelace sign folded into the scalar
+                # coefficients (mirrored in fit_quads — two plane ops
+                # per edge fewer than the point-difference form).
                 area2 = (
                     ax * by - bx * ay
                     + bx * qcy - qcx * by
@@ -261,8 +280,12 @@ def fit_lanes_kernel(
                     ex = etx - efx
                     ey = ety - efy
                     elen = jnp.sqrt(ex * ex + ey * ey) + 1e-6
-                    crossd = (cyp - efy) * ex - (cxp - efx) * ey
-                    inside = inside & (sgn * crossd >= -slack * elen)
+                    av = sgn * ex
+                    bv = sgn * ey
+                    c0 = bv * efx - av * efy
+                    inside = inside & (
+                        cyp * av - cxp * bv + c0 >= -slack * elen
+                    )
                 frac = (
                     jnp.sum(jnp.where(member & inside, 1.0, 0.0)) / szf
                 )

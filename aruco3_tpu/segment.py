@@ -48,7 +48,9 @@ class QuadParams:
 
     max_candidates: int = 32
     coarse_factor: int = 8  # downsample factor for the CCL grid
-    ccl_rounds: int = 4  # label scan rounds (solid blobs converge in 2-3)
+    ccl_rounds: int = 3  # label scan rounds (solid blobs converge in 2-3;
+    #   markers label on HOLE-FILLED planes in both passes, so 3 carries a
+    #   round of margin — parity re-measured at 3, see BASELINE.md)
     fill_rounds: int = 5  # border-reachability flood rounds for hole fill
     min_component_px: int = 3  # in coarse pixels
     containment_slack: float = 1.5  # in coarse cells
@@ -77,7 +79,7 @@ class QuadParams:
     inner_flood_rounds: int = 3  # level extraction / known-white growth
     inner_fill_rounds: int = 4  # outside-reach (enclosure) flood
     # Label rounds for the (hole-filled, solid) inner component planes.
-    inner_ccl_rounds: int = 4
+    inner_ccl_rounds: int = 3
 
 
 # Pre-merge inner-duplicate gate, in coarse-cell units (see
@@ -450,16 +452,20 @@ def fit_quads(
     )
     sgn = jnp.where(area2 >= 0, 1.0, -1.0)
     # Signed distance of pixel to edge line: z = ex*dy - ey*dx (positive on
-    # the interior side for shoelace-positive orientation).  Accumulate the
-    # inside mask edge by edge — materializing a (K, 4, P) tensor costs ~4x
-    # the HBM traffic of four (K, P) passes.
+    # the interior side for shoelace-positive orientation), in the EXPANDED
+    # per-edge form py*a - px*b + c0 with the shoelace sign folded into the
+    # scalar coefficients — the TPU fit kernel (ops.fit_pallas) computes
+    # the identical expression, keeping the two paths bit-for-bit equal.
+    # Accumulate the inside mask edge by edge — materializing a (K, 4, P)
+    # tensor costs ~4x the HBM traffic of four (K, P) passes.
+    av = sgn[:, None] * ex  # (K, 4)
+    bv = sgn[:, None] * ey
+    c0 = bv * e_from[..., 0] - av * e_from[..., 1]
     inside = jnp.ones(member.shape, dtype=bool)
     for e in range(4):
-        crossd = (py - e_from[:, e, 1:2]) * ex[:, e, None] - (
-            px - e_from[:, e, 0:1]
-        ) * ey[:, e, None]
         inside = inside & (
-            sgn[:, None] * crossd >= -slack * elen[:, e, None]
+            py * av[:, e, None] - px * bv[:, e, None] + c0[:, e, None]
+            >= -slack * elen[:, e, None]
         )
     frac = jnp.sum(jnp.where(member & inside, 1.0, 0.0), axis=-1) / szf
     valid = valid & (frac >= params.min_containment)
