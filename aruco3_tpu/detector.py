@@ -247,31 +247,48 @@ def detect_batch_arrays(
 
         if pallas_refine:
             # No u8 grey canvas: warp level-0 windows read the packed
-            # int16 plane directly (bits 0-7 = image-masked grey), so
-            # the pipeline's second-largest write never exists.
-            # min_rows = the deepest aligned row any consumer DMAs:
-            # refine windows, warp level-0 windows (72/80-row reads from
-            # 16-aligned bases), and the level-1 plane's own windows —
+            # plane directly, so the pipeline's second-largest write
+            # never exists.  SPLIT mode (whenever the strip geometry
+            # admits it — see split_strip_rows): the "packed plane" is
+            # a plain u8 image-masked grey plane plus a 32-rows-per-
+            # int32-word near-mask sideband — ~44% of the int16
+            # plane's bytes on the frontend write AND the refine
+            # kernel's whole-plane stream.  min_rows = the deepest
+            # aligned row any consumer DMAs: refine windows, warp
+            # level-0 windows, and the level-1 plane's own windows —
             # the frontend then pads with the fewest zero strips that
             # cover it instead of a blanket extra strip.
+            from .ops.frontend_pallas import split_strip_rows
+
             h, w = grey.shape[1], grey.shape[2]
             wn = segment.refine_window_size(params, ds)
-            sh_r = -(-(wn + 15) // 16) * 16
-            need_refine = (max(h - wn, 0) // 16) * 16 + sh_r
-            need_warp = ((max(h, 64) - 64) // 16) * 16 + 80
+            th_split = split_strip_rows(ds)
+            al_r = 32 if th_split else 16  # refine window row alignment
+            al_w = 8 if th_split else 16  # warp L0 row align (u8 / i16)
+            sh_r = -(-(wn + al_r - 1) // al_r) * al_r
+            need_refine = (max(h - wn, 0) // al_r) * al_r + sh_r
+            need_warp = ((max(h, 64) - 64) // al_w) * al_w + (
+                72 if th_split else 80
+            )
             ph0 = max(h + (h % 2), 64)
             h1 = max(ph0 // 2, 64)
             need_l1 = 2 * (((h1 - 64) // 16) * 16 + 80)
-            coarse, packed, level1 = fused_threshold_open_pool(
+            outs = fused_threshold_open_pool(
                 grey,
                 cfg.threshold_window,
                 params.open_radius,
                 ds,
                 emit_packed=True,
                 emit_level1=True,
+                emit_split=th_split is not None,
                 min_rows=max(need_refine, need_warp, need_l1),
             )
-            # The warp kernel DMAs (80, 256) blocks with no bounds
+            if th_split is not None:
+                coarse, packed, near_words, level1 = outs
+            else:
+                coarse, packed, level1 = outs
+                near_words = None
+            # The warp kernel DMAs (72/80, 256) blocks with no bounds
             # guard; the plane's padding must cover its deepest read.
             assert packed.shape[1] >= need_warp
             assert (
@@ -354,6 +371,8 @@ def detect_batch_arrays(
             inner_coarse=cand["inner_coarse"],
             image_hw=(h, w),
             valid=cand["valid"],
+            near_words=near_words,
+            strip_rows=th_split or 0,
         )
 
         def gate(q, v, sz, ov):

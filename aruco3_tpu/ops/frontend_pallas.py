@@ -43,6 +43,25 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def split_strip_rows(ds: int) -> int | None:
+    """Strip height for the SPLIT-plane emit mode (``emit_split``).
+
+    The split mode's near-mask words pack 32 image rows per int32 word,
+    so words must never straddle strips: the strip height must be a
+    multiple of 32 (and of ds, and of 8*ds so the coarse row-pool block
+    keeps an 8-multiple sublane dim).  Prefer the tallest option <= 192
+    rows (halo amortization vs VMEM), else the smallest <= 224; None
+    when no option exists (odd ds >= 9 — the detector then falls back
+    to the int16 packed-plane mode).
+    """
+    opts = [rp * ds for rp in (32, 16, 8) if (rp * ds) % 32 == 0]
+    fit = [t for t in opts if t <= 192]
+    if fit:
+        return max(fit)
+    fit = [t for t in opts if t <= 224]
+    return min(fit) if fit else None
+
+
 def _sliding_sum_lanes(x, width: int, roll):
     """Running sum of ``width`` consecutive lanes: out[i] = sum x[i:i+width].
 
@@ -226,7 +245,8 @@ def _sliding_sum_rows(x, width: int, n_out: int, base: int):
     jax.jit,
     static_argnames=(
         "window", "open_radius", "ds", "interpret", "emit_packed",
-        "emit_grey_canvas", "emit_level1", "min_rows", "_stop_after",
+        "emit_grey_canvas", "emit_level1", "emit_split", "min_rows",
+        "_stop_after",
     ),
 )
 def fused_threshold_open_pool(
@@ -238,6 +258,7 @@ def fused_threshold_open_pool(
     emit_packed: bool = False,
     emit_grey_canvas: bool = False,
     emit_level1: bool = False,
+    emit_split: bool = False,
     min_rows: int | None = None,
     _stop_after: str | None = None,
 ):
@@ -252,6 +273,17 @@ def fused_threshold_open_pool(
     (grey | twice-dilated-black << 8) on a zero-padded canvas sized for
     ops.refine_pallas window DMAs (rows multiple of 8 + slack, cols
     multiple of 128 + slack).
+
+    ``emit_split`` (with emit_packed) SPLITS the packed plane into its
+    two consumers' native forms instead: a u8 image-masked grey plane
+    (same padded geometry — the refine window source AND the warp
+    level-0 source) and the near mask BIT-PACKED 32 rows per int32 word
+    — word row 8*strip + t//32, bit t%32 = near for image row
+    strip*TH + t (TH a multiple of 32, see split_strip_rows; each strip
+    owns word rows [8*strip, 8*strip + TH/32), rows above TH/32 in each
+    8-row group are zero).  Identical information, ~44%% of the int16
+    plane's HBM traffic, and the near mask never gets unpacked to full
+    rows at all.  Returns (coarse, grey_plane, near_words[, level1]).
 
     When ``emit_level1`` (with emit_packed), additionally emits pyramid
     level 1 — the 2x2 box mean of the zero-padded image — as a
@@ -299,9 +331,17 @@ def fused_threshold_open_pool(
     # output block's sublane dim is divisible by 8 (TPU tiling
     # constraint).  Taller strips amortize the per-strip halo rows'
     # redundant compute (2*halo of ~th rows); 16 coarse rows when the
-    # f32 working planes stay comfortably inside VMEM.
-    rows_per_strip = 16 if ds * 16 <= 192 else 8
-    th = rows_per_strip * ds
+    # f32 working planes stay comfortably inside VMEM.  The split mode
+    # additionally needs 32 | th (near words must not straddle strips).
+    if emit_split:
+        if not emit_packed or emit_grey_canvas:
+            raise ValueError("emit_split requires emit_packed, no canvas")
+        th = split_strip_rows(ds)
+        if th is None:
+            raise ValueError(f"no 32-aligned strip height for ds={ds}")
+    else:
+        rows_per_strip = 16 if ds * 16 <= 192 else 8
+        th = rows_per_strip * ds
     # Zero padding strips below the image so downstream consumers
     # (refine/warp window DMAs, the level-1 plane) can read past the
     # image without touching uninitialised memory.  ``min_rows`` (from
@@ -401,17 +441,25 @@ def fused_threshold_open_pool(
     def kernel(src_hbm, band_ref, *refs):
         wpack_ref = usel_ref = vsel_ref = None
         if emit_packed:
-            wpack_ref, usel_ref, vsel_ref = refs[:3]
-            refs = refs[3:]
+            wpack_ref, refs = refs[0], refs[1:]
+            if not emit_split:  # split never unpacks the near mask
+                usel_ref, refs = refs[0], refs[1:]
+            vsel_ref, refs = refs[0], refs[1:]
         l1_ref = None
         if emit_level1:
             rowpair_ref, colpair_ref = refs[:2]
             refs = refs[2:]
+        near_ref = None
         if emit_packed:
-            if emit_level1:
-                rowpool_ref, packed_ref, l1_ref, *rest = refs
+            # In split mode packed_ref is the u8 grey plane output.
+            if emit_split:
+                rowpool_ref, packed_ref, near_ref, *refs = refs
             else:
-                rowpool_ref, packed_ref, *rest = refs
+                rowpool_ref, packed_ref, *refs = refs
+            if emit_level1:
+                l1_ref, *rest = refs
+            else:
+                rest = refs
             black_ref = None
         else:
             black_ref, rowpool_ref, *rest = refs
@@ -561,9 +609,11 @@ def fused_threshold_open_pool(
                 xi[: th // ds, :tw].astype(jnp.int32).astype(jnp.uint8)
             )
             if packed_ref is not None:
-                packed_ref[0] = (
-                    xi[:th, :tw].astype(jnp.int32).astype(jnp.int16)
+                packed_ref[0] = xi[:th, :tw].astype(jnp.int32).astype(
+                    jnp.uint8 if emit_split else jnp.int16
                 )
+            if near_ref is not None:
+                near_ref[0] = xi[:8, :tw].astype(jnp.int32)
             if l1_ref is not None:
                 l1_ref[0] = xi[: th // 2, : tw // 2].astype(jnp.bfloat16)
             if black_ref is not None:
@@ -734,34 +784,52 @@ def fused_threshold_open_pool(
                 .astype(jnp.float32)
                 .astype(jnp.bfloat16)
             )
-            s_near = (
-                _unpack_bits_halving(nearw)
-                .astype(jnp.float32)
-                .astype(jnp.bfloat16)
-            )
             rowpool = jax.lax.dot_general(
                 vsel_ref[...],
                 s_open,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (th // ds, twb) exact black counts per ds-row group
-            near_full = jax.lax.dot_general(
-                usel_ref[...],
-                s_near,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (th, twb) 0/1
-            # The batched detector never reads the full-res black mask
-            # (the packed plane replaces it) — skip its cast+write.
-            # int16 (values <= 511 = grey | near<<8) halves the write
-            # traffic of the pipeline's largest intermediate.
             gm = gmid[r2:-r2] if r2 else gmid
-            packed = (gm + near_full * 256.0) * inside_i[r2:-r2]
-            packed_ref[0] = (
-                packed[:, lane0 : lane0 + tw]
-                .astype(jnp.int32)
-                .astype(jnp.int16)
-            )
+            if emit_split:
+                # SPLIT outputs: the u8 image-masked grey plane and the
+                # near mask still bit-packed (bit t of word row t//32 =
+                # image row strip_base + t; nearw's bit t is exactly
+                # that — see the host-code comment on usel).  Word rows
+                # >= th//32 carry the halo's view of the NEXT strip's
+                # rows (that strip writes them itself) — zeroed here.
+                packed_ref[0] = (
+                    (gm * inside_i[r2:-r2])[:, lane0 : lane0 + tw]
+                    .astype(jnp.int32)
+                    .astype(jnp.uint8)
+                )
+                wrow = jax.lax.broadcasted_iota(jnp.int32, (8, tw), 0)
+                near_ref[0] = jnp.where(
+                    wrow < th // 32, nearw[:, lane0 : lane0 + tw], 0
+                )
+            else:
+                s_near = (
+                    _unpack_bits_halving(nearw)
+                    .astype(jnp.float32)
+                    .astype(jnp.bfloat16)
+                )
+                near_full = jax.lax.dot_general(
+                    usel_ref[...],
+                    s_near,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (th, twb) 0/1
+                # The batched detector never reads the full-res black
+                # mask (the packed plane replaces it) — skip its
+                # cast+write.  int16 (values <= 511 = grey | near<<8)
+                # halves the write traffic of the pipeline's largest
+                # intermediate.
+                packed = (gm + near_full * 256.0) * inside_i[r2:-r2]
+                packed_ref[0] = (
+                    packed[:, lane0 : lane0 + tw]
+                    .astype(jnp.int32)
+                    .astype(jnp.int16)
+                )
         else:
             # Full-plane f32 path (black-mask output; ext == 0 here).
             # Rows use shrinking static slices (sublane rolls on
@@ -834,8 +902,24 @@ def fused_threshold_open_pool(
         out_specs = [pool_spec, tile_spec]
         out_shapes = [
             jax.ShapeDtypeStruct((b, hp // ds, wp), jnp.uint8),
-            jax.ShapeDtypeStruct((b, hp, wp), jnp.int16),
+            jax.ShapeDtypeStruct(
+                (b, hp, wp), jnp.uint8 if emit_split else jnp.int16
+            ),
         ]
+        if emit_split:
+            # Near-mask words: one 8-row int32 block per strip (8-row
+            # blocks keep sublane offsets tile-aligned; rows >= th//32
+            # of each block are zero).
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, 8, tw),
+                    lambda bi, i, c: (bi, i, c),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            out_shapes.append(
+                jax.ShapeDtypeStruct((b, 8 * n_strips, wp), jnp.int32)
+            )
         if emit_level1:
             out_specs.append(
                 pl.BlockSpec(
@@ -916,26 +1000,31 @@ def fused_threshold_open_pool(
         for k in range(th // ds):
             for t in range(k * ds + ext, (k + 1) * ds + ext):
                 vsel[k, bitpos[(t // 32, t % 32)]] = 1.0
-        in_specs += [
+        in_specs.append(
             pl.BlockSpec(
                 (16, nrows_h),
                 lambda bi, i, c: (0, 0),
                 memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (th, 256), lambda bi, i, c: (0, 0), memory_space=pltpu.VMEM
-            ),
+            )
+        )
+        operands.append(jnp.asarray(wpack, jnp.bfloat16))
+        if not emit_split:  # split never unpacks the near mask
+            in_specs.append(
+                pl.BlockSpec(
+                    (th, 256),
+                    lambda bi, i, c: (0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            operands.append(jnp.asarray(usel, jnp.bfloat16))
+        in_specs.append(
             pl.BlockSpec(
                 (th // ds, 256),
                 lambda bi, i, c: (0, 0),
                 memory_space=pltpu.VMEM,
-            ),
-        ]
-        operands += [
-            jnp.asarray(wpack, jnp.bfloat16),
-            jnp.asarray(usel, jnp.bfloat16),
-            jnp.asarray(vsel, jnp.bfloat16),
-        ]
+            )
+        )
+        operands.append(jnp.asarray(vsel, jnp.bfloat16))
     if emit_level1:
         rowpair = np.zeros((th // 2, th), np.float32)
         rowpair[np.arange(th) // 2, np.arange(th)] = 1.0
@@ -975,8 +1064,11 @@ def fused_threshold_open_pool(
     pooled = rp.reshape(b, hc, wc, ds).sum(axis=-1)
     coarse = pooled * 2 >= max(ds, 2)
     if emit_packed:
-        packed = outs[1]
-        extra = (outs[2],) if emit_level1 else ()
+        packed = outs[1]  # int16 packed plane, or the u8 grey plane (split)
+        tail = outs[3:] if emit_split else outs[2:]
+        extra = ((outs[2],) if emit_split else ()) + (
+            (tail[0],) if emit_level1 else ()
+        )
         if fuse_canvas:
             src = outs[-1]
         if emit_grey_canvas:

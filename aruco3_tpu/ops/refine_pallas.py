@@ -39,10 +39,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("wn", "clamp_r", "ds", "interpret")
+    jax.jit,
+    static_argnames=("wn", "clamp_r", "ds", "strip_rows", "interpret"),
 )
 def refine_eval(
-    packed: jnp.ndarray,  # (B, Hp, Wp) int16/int32, aligned rows/lanes
+    packed: jnp.ndarray,  # (B, Hp, Wp) int16/int32 — OR u8 grey (split)
     inner_plane: jnp.ndarray,  # (B, Hcp, Wcp) int32 coarse inner footprint
     tly: jnp.ndarray,  # (B, K4) int32 window top (in-bounds for wn)
     tlx: jnp.ndarray,  # (B, K4) int32 window left
@@ -53,6 +54,8 @@ def refine_eval(
     wn: int,
     clamp_r: int,
     ds: int,
+    near_words: jnp.ndarray | None = None,  # (B, 8*NS, Wp) int32 split near
+    strip_rows: int = 0,  # frontend strip height (split mode only)
     interpret: bool = False,
 ):
     """Refined corners for the B*K4 windows.
@@ -61,11 +64,26 @@ def refine_eval(
     windows are garbage — mask with ``valid`` downstream.  ``packed``
     must be padded so [align(tly), +SH) x [align128(tlx), +SW) stays in
     bounds, with pad pixels carrying zero mask bits.
+
+    SPLIT mode (``near_words`` given): ``packed`` is the frontend's u8
+    image-masked grey plane and the near mask arrives bit-packed 32
+    rows per int32 word in the frontend's per-strip layout (word row
+    8*(R // strip_rows) + (R %% strip_rows) // 32, bit R %% 32 = image
+    row R; ops.frontend_pallas emit_split).  Windows then read near
+    bits by broadcasting whole word rows and shifting by the row iota —
+    the near mask is never unpacked outside VMEM, and the two planes
+    together stream ~44%% of the int16 packed plane's bytes.
     """
     b, k4 = tly.shape
+    split = near_words is not None
     # Row alignment follows the plane dtype: int16 tiles are (16, 128),
-    # int32 tiles (8, 128).
-    align = 16 if packed.dtype == jnp.int16 else 8
+    # int32 tiles (8, 128); the split-mode u8 plane uses 32 so window
+    # rows share their 32-row near word group alignment.
+    if split:
+        assert packed.dtype == jnp.uint8 and strip_rows % 32 == 0
+        align = 32
+    else:
+        align = 16 if packed.dtype == jnp.int16 else 8
     sh = _round_up(wn + align - 1, align)
     sw = _round_up(wn + 127, 128)
     hp, wp = packed.shape[1], packed.shape[2]
@@ -96,8 +114,12 @@ def refine_eval(
 
     def kernel(
         kind_ref, by_ref, bx_ref, ty_ref, tx_ref,
-        params_ref, inner_ref, plane_ref, out_ref,
+        params_ref, inner_ref, plane_ref, *refs,
     ):
+        if split:
+            near_ref, out_ref = refs
+        else:
+            (out_ref,) = refs
         i = pl.program_id(0)
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (sh, sw), 0)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (sh, sw), 1)
@@ -126,7 +148,27 @@ def refine_eval(
                 & (cols >= tx)
                 & (cols < tx + wn)
             )
-            near8 = (win >> 8) & 1  # int 0/1: Mosaic has no i1 select
+            if split:
+                # Near bits from the word plane: window rows start at
+                # the 32-aligned byv, so 32-row group q covers rows
+                # [byv + 32q, byv + 32(q+1)) = one whole word row;
+                # broadcast it and shift by the in-group row index.
+                wrows = strip_rows // 32
+                parts = []
+                for q in range(sh // 32):
+                    g32 = byv // 32 + q
+                    si = g32 // wrows
+                    wr = si * 8 + (g32 - si * wrows)
+                    row = near_ref[
+                        0, wr, pl.ds(pl.multiple_of(bxv, 128), sw)
+                    ]
+                    parts.append(
+                        jnp.broadcast_to(row.reshape(1, sw), (32, sw))
+                    )
+                words = jnp.concatenate(parts, axis=0)  # (sh, sw)
+                near8 = (words >> (rows_i & 31)) & 1
+            else:
+                near8 = (win >> 8) & 1  # int 0/1: no i1 select in Mosaic
             if with_inner:
                 # Upsample the coarse footprint over this window with
                 # two one-hot contractions (row-, col-cells).
@@ -207,30 +249,45 @@ def refine_eval(
     # One frame per grid step: Pallas streams the frame's whole packed
     # plane into VMEM (double-buffered across steps), so every window is
     # an in-VMEM slice.  VMEM: 2 plane buffers + params/inner/out.
-    plane_mb = 2 * hp * wp * packed.dtype.itemsize // (1024 * 1024)
-    limit = (plane_mb + 24) * 1024 * 1024
+    plane_bytes = 2 * hp * wp * packed.dtype.itemsize
+    in_specs = [
+        pl.BlockSpec(
+            (1, k4p, 128),
+            lambda i, *_refs: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, hcp, wcp),
+            lambda i, *_refs: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, hp, wp),
+            lambda i, *_refs: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [
+        kind_s, by_s, bx_s, ty_s, tx_s, params, inner_plane, packed,
+    ]
+    if split:
+        nw8 = near_words.shape[1]
+        in_specs.append(
+            pl.BlockSpec(
+                (1, nw8, wp),
+                lambda i, *_refs: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(near_words)
+        plane_bytes += 2 * nw8 * wp * 4
+    limit = plane_bytes + 24 * 1024 * 1024
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(b,),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, k4p, 128),
-                    lambda i, *_refs: (i, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, hcp, wcp),
-                    lambda i, *_refs: (i, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, hp, wp),
-                    lambda i, *_refs: (i, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, k4p, 128),
                 lambda i, *_refs: (i, 0, 0),
@@ -240,10 +297,7 @@ def refine_eval(
         out_shape=jax.ShapeDtypeStruct((b, k4p, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=limit),
         interpret=interpret,
-    )(
-        kind_s, by_s, bx_s, ty_s, tx_s,
-        params, inner_plane, packed,
-    )
+    )(*operands)
 
     return out[:, :k4, 0], out[:, :k4, 1], out[:, :k4, 2] > 0.5
 
@@ -258,6 +312,8 @@ def refine_corners_batch(
     inner_coarse: jnp.ndarray | None = None,  # (B, Hc, Wc) bool footprint
     image_hw: tuple[int, int] | None = None,
     valid: jnp.ndarray | None = None,  # (B, K) bool lane validity
+    near_words: jnp.ndarray | None = None,  # split-mode near mask words
+    strip_rows: int = 0,  # frontend strip height (split mode)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Batched drop-in for segment.refine_corners over a frame batch.
@@ -266,12 +322,21 @@ def refine_corners_batch(
     padded plane); pass ``image_hw`` in that case.  Padding must carry
     zero mask bits.  If the plane is too small for the aligned window
     slices it is re-padded here.
+
+    SPLIT mode: pass the frontend's u8 grey plane as ``packed`` plus
+    its ``near_words``/``strip_rows`` (ops.frontend_pallas emit_split);
+    the planes must already be padded for the aligned reads (the
+    detector sizes them via min_rows).
     """
     b = packed.shape[0]
     h, w = image_hw or packed.shape[1:]
     k = quads.shape[1]
     clamp_r = ds + 2
-    align = 16 if packed.dtype == jnp.int16 else 8
+    split = near_words is not None
+    if split:
+        align = 32
+    else:
+        align = 16 if packed.dtype == jnp.int16 else 8
     sh = _round_up(wn + align - 1, align)
     sw = _round_up(wn + 127, 128)
     # Aligned window slices reach at most
@@ -281,6 +346,12 @@ def refine_corners_batch(
     if packed.shape[1] >= need_h and packed.shape[2] >= need_w:
         pad = packed
     else:
+        if split:
+            raise ValueError(
+                "split-mode planes must be pre-padded for the aligned "
+                f"window reads (need ({need_h}, {need_w}), got "
+                f"{packed.shape[1:]})"
+            )
         hp = max(_round_up(packed.shape[1], align), need_h)
         wp = max(_round_up(packed.shape[2], 128), need_w)
         pad = jnp.zeros((b, hp, wp), packed.dtype)
@@ -308,6 +379,8 @@ def refine_corners_batch(
     )
     valid4 = jnp.broadcast_to(valid[:, :, None], (b, k, 4))
 
+    if split:
+        assert near_words.shape[2] == packed.shape[2]
     k4 = k * 4
     x, y, has = refine_eval(
         pad,
@@ -321,6 +394,8 @@ def refine_corners_batch(
         wn,
         clamp_r,
         ds,
+        near_words=near_words,
+        strip_rows=strip_rows,
         interpret=interpret,
     )
     refined = jnp.stack([x, y], axis=-1).reshape(b, k, 4, 2)

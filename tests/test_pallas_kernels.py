@@ -60,6 +60,101 @@ def test_fused_frontend_packed_plane(shape, ds, rng):
     assert (got[:, :, w:] == 0).all()
 
 
+@pytest.mark.parametrize(
+    "shape,ds",
+    [((1, 123, 217), 3), ((2, 200, 330), 10), ((1, 270, 2400), 10)],
+)
+def test_fused_frontend_split_plane(shape, ds, rng):
+    """emit_split must carry the same information as the int16 packed
+    plane: a u8 image-masked grey plane (zero padding) and the near
+    mask bit-packed 32 rows per int32 word in the per-strip layout."""
+    from aruco3_tpu.ops.frontend_pallas import split_strip_rows
+
+    g = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    h, w = shape[1], shape[2]
+    th = split_strip_rows(ds)
+    coarse, greyp, nearw, _l1 = fused_threshold_open_pool(
+        jnp.asarray(g), 7, 2, ds, interpret=True, emit_packed=True,
+        emit_level1=True, emit_split=True,
+    )
+    bref = jax.vmap(
+        lambda x: segment.open_mask(~frontend.adaptive_threshold(x, 7), 2)
+    )(jnp.asarray(g))
+    cref = jax.vmap(lambda x: segment.pool_black(x, ds))(bref)
+    zero_inner = jnp.zeros(
+        (shape[0], -(-h // ds), -(-w // ds)), dtype=bool
+    )
+    pref = np.asarray(
+        jax.vmap(
+            lambda gg, bb, ii: segment.build_packed_plane(gg, bb, ii, ds)
+        )(jnp.asarray(g), bref, zero_inner)
+    )
+    gp, nw = np.asarray(greyp), np.asarray(nearw)
+    np.testing.assert_array_equal(gp[:, :h, :w], pref & 255)
+    assert (gp[:, h:, :] == 0).all() and (gp[:, :, w:] == 0).all()
+    rows = np.arange(h)
+    si, t = rows // th, rows % th
+    bits = (nw[:, 8 * si + t // 32, :w] >> (t % 32)[None, :, None]) & 1
+    np.testing.assert_array_equal(bits, (pref >> 8) & 1)
+    # Padding rows carry zero near bits (refine windows read into them).
+    hp = gp.shape[1]
+    rows = np.arange(h, hp)
+    si, t = rows // th, rows % th
+    bits = (nw[:, 8 * si + t // 32, :] >> (t % 32)[None, :, None]) & 1
+    assert (bits == 0).all()
+    np.testing.assert_array_equal(np.asarray(coarse), np.asarray(cref))
+
+
+def test_refine_pallas_split_matches_xla(rng):
+    """The split-mode refine kernel (u8 grey plane + near words) must
+    reproduce segment.refine_corners exactly, inner lanes included."""
+    from aruco3_tpu.ops.refine_pallas import refine_corners_batch
+
+    b, k, h, w, ds, th = 2, 6, 240, 320, 8, 128
+    wn = segment.refine_window_size(segment.QuadParams(), ds)
+    grey = rng.integers(0, 256, size=(b, h, w), dtype=np.uint8)
+    black = rng.random((b, h, w)) < 0.3
+    inner_coarse = jnp.asarray(
+        rng.random((b, -(-h // ds), -(-w // ds))) < 0.5
+    )
+    quads = jnp.asarray(
+        rng.uniform(10, 200, size=(b, k, 4, 2)).astype(np.float32)
+    )
+    cents = jnp.mean(quads, axis=2)
+    is_inner = jnp.asarray(rng.random((b, k)) < 0.5)
+    ref = jax.vmap(
+        lambda bl, q, c, g, ic, ii: segment.refine_corners(
+            bl, q, c, ds, wn, grey=g, inner_coarse=ic, is_inner=ii
+        )
+    )(jnp.asarray(black), quads, cents, jnp.asarray(grey), inner_coarse,
+      is_inner)
+
+    near = np.asarray(
+        jax.vmap(lambda m: segment._dilate3(segment._dilate3(m)))(
+            jnp.asarray(black)
+        )
+    )
+    sh = -(-(wn + 31) // 32) * 32
+    need_h = (max(h - wn, 0) // 32) * 32 + sh
+    hp = -(-max(-(-h // th) * th, need_h) // th) * th
+    wp = (max(w - wn, 0) // 128) * 128 + 384  # cover the 256-lane reads
+    wp = -(-wp // 128) * 128
+    gp = np.zeros((b, hp, wp), np.uint8)
+    gp[:, :h, :w] = grey
+    nw = np.zeros((b, 8 * (hp // th), wp), np.int32)
+    for R in range(h):
+        si, t = divmod(R, th)
+        nw[:, 8 * si + t // 32, :w] |= near[:, R, :].astype(np.int32) << (
+            t % 32
+        )
+    got = refine_corners_batch(
+        jnp.asarray(gp), quads, cents, is_inner, ds, wn,
+        inner_coarse=inner_coarse, image_hw=(h, w),
+        near_words=jnp.asarray(nw), strip_rows=th, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 @pytest.mark.parametrize("shape", [(2, 240, 320), (1, 720, 1280)])
 def test_fused_frontend_level1(shape, rng):
     """emit_level1 must reproduce build_packed_pyramid's level 1 (same

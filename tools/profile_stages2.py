@@ -41,15 +41,39 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
     from aruco3_tpu.ops.frontend_pallas import fused_threshold_open_pool
     from aruco3_tpu.ops.refine_pallas import refine_corners_batch
 
+    from aruco3_tpu.ops.frontend_pallas import split_strip_rows
+
+    th_split = split_strip_rows(ds)
+
     def fn(images):
         acc = []
         grey = frontend.rgb_to_luma_u8(images)
-        coarse, packed, level1 = fused_threshold_open_pool(
+        wn = segment.refine_window_size(params, ds)
+        al_r = 32 if th_split else 16
+        al_w = 8 if th_split else 16
+        sh_r = -(-(wn + al_r - 1) // al_r) * al_r
+        need_refine = (max(h - wn, 0) // al_r) * al_r + sh_r
+        need_warp = ((max(h, 64) - 64) // al_w) * al_w + (
+            72 if th_split else 80
+        )
+        ph0 = max(h + (h % 2), 64)
+        h1 = max(ph0 // 2, 64)
+        need_l1 = 2 * (((h1 - 64) // 16) * 16 + 80)
+        outs = fused_threshold_open_pool(
             grey, cfg.threshold_window, params.open_radius, ds,
             emit_packed=True, emit_level1=True,
+            emit_split=th_split is not None,
+            min_rows=max(need_refine, need_warp, need_l1),
         )
+        if th_split is not None:
+            coarse, packed, near_words, level1 = outs
+        else:
+            coarse, packed, level1 = outs
+            near_words = None
         acc.append(jnp.sum(coarse.astype(jnp.int32)))
-        acc.append(jnp.sum(packed[:, ::97, ::97]))
+        acc.append(jnp.sum(packed[:, ::97, ::97].astype(jnp.int32)))
+        if near_words is not None:
+            acc.append(jnp.sum(near_words[:, ::7, ::97]))
         if upto >= 1:
             labels1, labels2 = coarse_labels(
                 coarse, params.bg_rounds, params.fill_rounds,
@@ -83,11 +107,11 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
             acc.append(jnp.sum(cand["quads"]))
             acc.append(jnp.sum(cand["valid"].astype(jnp.int32)))
         if upto >= 4:
-            wn = segment.refine_window_size(params, ds)
             quads = refine_corners_batch(
                 packed, cand["quads"], cand["centroids"], cand["is_inner"],
                 ds, wn, inner_coarse=cand["inner_coarse"], image_hw=(h, w),
-                valid=cand["valid"],
+                valid=cand["valid"], near_words=near_words,
+                strip_rows=th_split or 0,
             )
             acc.append(jnp.sum(quads))
         if upto >= 5:
