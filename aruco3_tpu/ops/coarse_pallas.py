@@ -115,7 +115,7 @@ def coarse_labels(
     bg_rounds: int,
     fill_rounds: int,
     ccl_rounds: int,
-    inner_ccl_rounds: int = 4,
+    inner_ccl_rounds: int = 3,  # keep in sync with QuadParams.inner_ccl_rounds
     inner_depths: int = 2,
     inner_flood_rounds: int = 3,
     inner_fill_rounds: int = 4,

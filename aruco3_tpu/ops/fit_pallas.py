@@ -194,10 +194,20 @@ def fit_lanes_kernel(
     p = hc * wc
     kp = _round_up(k, 8)
 
-    params = jnp.zeros((b, 8, 128), jnp.float32)
-    params = params.at[:, 0, :k].set(roots.astype(jnp.float32))
-    params = params.at[:, 1, :k].set(sizes.astype(jnp.float32))
-    params = params.at[:, 2, :k].set(use.astype(jnp.float32))
+    # Per-lane params ride SUBLANE rows (row kk = lane kk) so the
+    # dynamic-trip loop can read them with a dynamic sublane index
+    # (dynamic LANE indices must be 128-multiples in Mosaic).
+    params = jnp.zeros((b, kp, 128), jnp.float32)
+    params = params.at[:, :k, 0].set(roots.astype(jnp.float32))
+    params = params.at[:, :k, 1].set(sizes.astype(jnp.float32))
+    params = params.at[:, :k, 2].set(use.astype(jnp.float32))
+    # Loop trip: last used lane + 1 (0 when no lane is used).
+    n_trip = jnp.max(
+        (jnp.arange(1, k + 1, dtype=jnp.int32)[None, :])
+        * use.astype(jnp.int32),
+        axis=1,
+    )
+    params = params.at[:, 0, 3].set(n_trip.astype(jnp.float32))
 
     def kernel(lab_ref, par_ref, out_ref):
         lab = lab_ref[0]
@@ -210,10 +220,22 @@ def fit_lanes_kernel(
         cyp = ri.astype(jnp.float32) * ds + cxs
         slack = containment_slack * ds
 
-        for kk in range(k):
-            root_k = par_ref[0, 0, kk].astype(jnp.int32)
-            size_k = par_ref[0, 1, kk]
-            lane_used = par_ref[0, 2, kk] > 0.5
+        # Zero the whole output block once, then loop with a DYNAMIC
+        # trip count bounded by the last used lane: lanes arrive size-
+        # sorted (top-k), so used lanes are a prefix and the unused
+        # tail costs nothing (an unrolled pl.when-skipped lane still
+        # paid ~0.07 us of slot overhead; 30+ dead lanes x 128 frames
+        # was ~0.3 ms/batch).  Non-prefix masks stay correct: the trip
+        # covers up to the last used lane and each lane re-checks
+        # ``use``.
+        out_ref[0] = jnp.zeros((kp, 128), jnp.float32)
+        n_trip = par_ref[0, 0, 3].astype(jnp.int32)
+
+        def lane_body(kk, carry):
+            pk = par_ref[0, kk]  # dynamic sublane row: lane kk's params
+            root_k = pk[0].astype(jnp.int32)
+            size_k = pk[1]
+            lane_used = pk[2] > 0.5
 
             @pl.when(lane_used)
             def _():
@@ -298,13 +320,9 @@ def fit_lanes_kernel(
                 for fi, v in enumerate(vals):
                     row = jnp.where(lane == fi, v, row)
                 out_ref[0, kk] = row[0]
+            return carry
 
-            @pl.when(jnp.logical_not(lane_used))
-            def _():
-                out_ref[0, kk] = jnp.zeros((128,), jnp.float32)
-
-        for extra in range(k, kp):
-            out_ref[0, extra] = jnp.zeros((128,), jnp.float32)
+        jax.lax.fori_loop(0, jnp.minimum(n_trip, k), lane_body, 0)
 
     out = pl.pallas_call(
         kernel,
@@ -314,7 +332,7 @@ def fit_lanes_kernel(
                 (1, hc, wc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, kp, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(

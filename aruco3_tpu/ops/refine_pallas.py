@@ -103,6 +103,30 @@ def refine_eval(
     kind_s = padi(
         jnp.where(valid, jnp.where(inner, 2, 1), 0).astype(jnp.int32)
     )
+    # COMPACT WINDOW LIST: the loop visits only the valid windows via
+    # an index list (typical frames have ~40 of 176 valid; a skipped
+    # slot still costs ~0.07 us of loop overhead — ~1 ms/batch-128 of
+    # dead iterations without the list).  Sort-free construction:
+    # cumsum rank + one-hot matmul (indices < 256 are bf16-exact).
+    wpos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1  # (B, K4)
+    n_valid = jnp.sum(valid.astype(jnp.int32), axis=1)  # (B,)
+    tgt = jax.lax.broadcasted_iota(jnp.int32, (k4, k4p), 1)
+    onehot = (
+        (wpos[:, :, None] == tgt[None]) & valid[:, :, None]
+    ).astype(jnp.bfloat16)  # (B, K4, K4P)
+    src = jnp.arange(k4, dtype=jnp.int32)
+    # hi/lo byte split keeps the index matmul exact for any K4 (bf16
+    # holds integers < 256 exactly; one-hot rows sum a single term).
+    wlist = sum(
+        jnp.einsum(
+            "bit,i->bt",
+            onehot,
+            part.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        * scale
+        for part, scale in ((src & 255, 1), (src >> 8, 256))
+    )  # (B, K4P): t-th valid window's slot index
 
     # Per-window float parameters ride one (1, K4P, 128) f32 VMEM block
     # per frame; rows are read with a dynamic sublane index in the loop.
@@ -113,7 +137,7 @@ def refine_eval(
     params = params.at[:, :k4, 3].set(corners[..., 1])
 
     def kernel(
-        kind_ref, by_ref, bx_ref, ty_ref, tx_ref,
+        kind_ref, by_ref, bx_ref, ty_ref, tx_ref, wlist_ref, nv_ref,
         params_ref, inner_ref, plane_ref, *refs,
     ):
         if split:
@@ -121,8 +145,15 @@ def refine_eval(
         else:
             (out_ref,) = refs
         i = pl.program_id(0)
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (sh, sw), 0)
-        cols_i = jax.lax.broadcasted_iota(jnp.int32, (sh, sw), 1)
+        # The whole per-window chain runs at 128 lanes: the slice is 256
+        # lanes (window lane bases are 128-aligned, offsets reach 127)
+        # but the wn <= 64 window always fits one of the two 64-offset
+        # 128-lane sub-blocks, selected per window (warp kernel's
+        # half-shift trick) — every chain op then touches half the
+        # vregs of the 256-lane form.
+        swc = 128
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (sh, swc), 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (sh, swc), 1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         inv_area = 1.0 / float(wn * wn)
         inner_bf = inner_ref[0].astype(jnp.bfloat16)  # (hcp, wcp)
@@ -135,13 +166,16 @@ def refine_eval(
             tx = tx_ref[i, j]
             byv = by_ref[i, j]
             bxv = bx_ref[i, j]
-            win = plane_ref[
+            hh = (tx - bxv) // 64  # 64-block of the window start: 0/1
+            bxw = bxv + 64 * hh  # lane base of the 128-lane sub-block
+            win2 = plane_ref[
                 0,
                 pl.ds(pl.multiple_of(byv, align), sh),
                 pl.ds(pl.multiple_of(bxv, 128), sw),
             ].astype(jnp.int32)
+            win = jnp.where(hh == 0, win2[:, :128], win2[:, 64:192])
             rows = rows_i + byv
-            cols = cols_i + bxv
+            cols = cols_i + bxw
             sel = (
                 (rows >= ty)
                 & (rows < ty + wn)
@@ -162,10 +196,11 @@ def refine_eval(
                     row = near_ref[
                         0, wr, pl.ds(pl.multiple_of(bxv, 128), sw)
                     ]
+                    rw = jnp.where(hh == 0, row[:128], row[64:192])
                     parts.append(
-                        jnp.broadcast_to(row.reshape(1, sw), (32, sw))
+                        jnp.broadcast_to(rw.reshape(1, swc), (32, swc))
                     )
-                words = jnp.concatenate(parts, axis=0)  # (sh, sw)
+                words = jnp.concatenate(parts, axis=0)  # (sh, swc)
                 near8 = (words >> (rows_i & 31)) & 1
             else:
                 near8 = (win >> 8) & 1  # int 0/1: no i1 select in Mosaic
@@ -180,21 +215,21 @@ def refine_eval(
                     cellr
                     == jax.lax.broadcasted_iota(jnp.int32, (1, hcp), 1)
                 ).astype(jnp.bfloat16)  # (sh, hcp)
-                cc = bxv + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, sw), 1
+                cc = bxw + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, swc), 1
                 )
-                cellc = cc // ds  # (1, sw)
+                cellc = cc // ds  # (1, swc)
                 csel = (
-                    jax.lax.broadcasted_iota(jnp.int32, (wcp, sw), 0)
+                    jax.lax.broadcasted_iota(jnp.int32, (wcp, swc), 0)
                     == cellc
-                ).astype(jnp.bfloat16)  # (wcp, sw)
+                ).astype(jnp.bfloat16)  # (wcp, swc)
                 a = jnp.dot(
                     rsel, inner_bf, preferred_element_type=jnp.float32
                 )  # (sh, wcp)
                 up = jnp.dot(
                     a.astype(jnp.bfloat16), csel,
                     preferred_element_type=jnp.float32,
-                )  # (sh, sw)
+                )  # (sh, swc)
                 up9 = (up > 0.5).astype(jnp.int32)
                 near = (near8 & up9) == 1
             else:
@@ -213,11 +248,11 @@ def refine_eval(
             has = m > -jnp.inf
             # First maximum in window row-major order == min linear
             # index among maxima (matches jnp.argmax in the XLA path).
-            lin = rows_i * sw + cols_i
-            cand = jnp.where(score == m, lin, jnp.int32(sh * sw))
+            lin = rows_i * swc + cols_i
+            cand = jnp.where(score == m, lin, jnp.int32(sh * swc))
             li = jnp.min(cand)
-            bestx = (bxv + li % sw).astype(jnp.float32)
-            besty = (byv + li // sw).astype(jnp.float32)
+            bestx = (bxw + li % swc).astype(jnp.float32)
+            besty = (byv + li // swc).astype(jnp.float32)
             return jnp.where(
                 lane == 0,
                 bestx,
@@ -228,10 +263,14 @@ def refine_eval(
                 ),
             )[0]
 
-        def body(j, carry):
-            # Invalid windows skip extraction and compute entirely;
-            # outer windows skip the upsample matmuls (the two bodies
-            # are compiled once — the loop is data-indexed).
+        def body(t, carry):
+            # The loop walks the COMPACT list of valid windows (the
+            # bodies are compiled once — everything is data-indexed);
+            # outer windows skip the upsample matmuls.  Rows of
+            # skipped (invalid) windows are never written — their
+            # outputs are garbage, masked downstream exactly like the
+            # dense-loop version masked them.
+            j = wlist_ref[i, t]
             k = kind_ref[i, j]
 
             @pl.when(k == 1)
@@ -244,7 +283,7 @@ def refine_eval(
 
             return carry
 
-        jax.lax.fori_loop(0, k4p, body, 0)
+        jax.lax.fori_loop(0, nv_ref[i], body, 0)
 
     # One frame per grid step: Pallas streams the frame's whole packed
     # plane into VMEM (double-buffered across steps), so every window is
@@ -268,7 +307,8 @@ def refine_eval(
         ),
     ]
     operands = [
-        kind_s, by_s, bx_s, ty_s, tx_s, params, inner_plane, packed,
+        kind_s, by_s, bx_s, ty_s, tx_s, wlist, n_valid,
+        params, inner_plane, packed,
     ]
     if split:
         nw8 = near_words.shape[1]
@@ -285,7 +325,7 @@ def refine_eval(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=7,
             grid=(b,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(

@@ -474,11 +474,12 @@ def warp_patches_dma(
     level, bilinear separable weights, black outside); numerics match to
     bf16 rounding.
 
-    When ``src`` is given (the padded u8 grey canvas, or the int16
-    packed refinement plane whose bits 0-7 are the image-masked grey;
-    image at ``src_halo``, ``image_hw`` true dims) level-0 windows DMA
-    from it directly and ``canvas`` must have been built with
-    skip_level0 — the full-resolution level never exists in bf16.
+    When ``src`` is given (the frontend's u8 image-masked grey plane
+    (emit_split), a padded u8 grey canvas, or the int16 packed
+    refinement plane whose bits 0-7 are the image-masked grey; image
+    at ``src_halo``, ``image_hw`` true dims) level-0 windows DMA from
+    it directly and ``canvas`` must have been built with skip_level0 —
+    the full-resolution level never exists in bf16.
 
     When ``l1_plane`` is additionally given (the fused frontend's
     emitted level-1 plane, zero-padded; see l1_direct_ok for the

@@ -49,10 +49,12 @@ def main():
         rng.integers(0, 256, (b, h, w), dtype=np.uint8))
 
     def prod(f, stop):
-        # Production config: no grey canvas (warp L0 reads the packed
-        # plane), min_rows as the detector computes it at 1080p.
+        # Production config: SPLIT planes (u8 grey + near words; warp
+        # L0 reads the grey plane), min_rows as the detector computes
+        # it at 1080p.
         return fused_threshold_open_pool(
             f, ds=10, emit_packed=True, emit_level1=True,
+            emit_split=True,
             min_rows=1096 if (h, w) == (1080, 1920) else None,
             _stop_after=stop,
         )

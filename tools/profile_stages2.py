@@ -71,9 +71,9 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
             coarse, packed, level1 = outs
             near_words = None
         acc.append(jnp.sum(coarse.astype(jnp.int32)))
-        acc.append(jnp.sum(packed[:, ::97, ::97].astype(jnp.int32)))
+        acc.append(jnp.sum(packed[:, 64:96, :256].astype(jnp.int32)))
         if near_words is not None:
-            acc.append(jnp.sum(near_words[:, ::7, ::97]))
+            acc.append(jnp.sum(near_words[:, :8, :256]))
         if upto >= 1:
             labels1, labels2 = coarse_labels(
                 coarse, params.bg_rounds, params.fill_rounds,
@@ -84,8 +84,8 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
                 inner_fill_rounds=params.inner_fill_rounds,
                 inner=params.max_inner_candidates > 0,
             )
-            acc.append(jnp.sum(labels1[:, ::7, ::7]))
-            acc.append(jnp.sum(labels2[:, ::7, ::7]))
+            acc.append(jnp.sum(labels1[:, 32:64, :128]))
+            acc.append(jnp.sum(labels2[:, 32:64, :128]))
         if upto >= 2:
             from aruco3_tpu.ops.fit_pallas import fit_quads_batch
 
@@ -138,7 +138,7 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
                 grey, nlv, skip_level0=True, level1=level1,
                 skip_level1=l1_ok,
             )
-            acc.append(jnp.sum(canvas[:, ::311, ::311].astype(jnp.float32)))
+            acc.append(jnp.sum(canvas[:, 128:160, :256].astype(jnp.float32)))
         if upto >= 8:
             patches = rectify.warp_patches_dma(
                 canvas, offsets, shapes, H, quads, s, valid=valid & h_valid,
