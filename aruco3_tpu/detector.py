@@ -342,15 +342,15 @@ def detect_batch_arrays(
         # Matches candidates_from_labels except on exact-symmetry
         # extreme-point ties, where XLA fusion rounding may pick the
         # other equally-extreme cell (recall-neutral).
-        from .ops.fit_pallas import fit_quads_batch
+        from .ops.fit_pallas import fused_fit_batch
 
-        fit1 = fit_quads_batch(labels1, ds, params, params.max_candidates)
-        fit2 = (
-            fit_quads_batch(
-                labels2, ds, params, params.max_inner_candidates
-            )
-            if params.max_inner_candidates > 0
-            else None
+        fit1, fit2 = fused_fit_batch(
+            labels1,
+            labels2,
+            ds,
+            params,
+            params.max_candidates,
+            params.max_inner_candidates,
         )
         cand = jax.vmap(
             lambda lab, lab2, f1, f2: segment.merge_fits(

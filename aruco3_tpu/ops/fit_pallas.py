@@ -42,6 +42,180 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _rank_pool(lab, hc, wc, kr, krp, min_px):
+    """Traced rank-pool body shared by rank_roots_kernel and the fused
+    kernel: raster-ranked (root, size) pairs with the min-size admission
+    pre-filter, dynamic trip min(n_roots, kr).  Returns (roots_v,
+    sizes_v) as (1, krp) f32 vectors (-1 size fill on empty ranks) and
+    the scalar root count."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 1)
+    lin = ri * wc + ci
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, krp), 1)
+    p = hc * wc
+
+    is_root = lab == lin
+    # Pool admission pre-filter (mirrors fit_quads bit-for-bit):
+    # exclude components below the min-size gate via the exact
+    # root-window local count; wrap-around rolls match jnp.roll.
+    t = min(int(min_px), 3)
+    if t > 1:
+        rr2 = t - 1
+        cnt = jnp.zeros((hc, wc), jnp.int32)
+        for dy in range(0, rr2 + 1):
+            rolled_r = (
+                lab
+                if dy == 0
+                else jnp.concatenate([lab[dy:], lab[:dy]], axis=0)
+            )
+            for dx in range(-rr2, rr2 + 1):
+                if dy == 0 and dx < 0:
+                    continue
+                sh = pltpu.roll(rolled_r, (-dx) % wc, axis=1)
+                cnt = cnt + (sh == lab).astype(jnp.int32)
+        is_root = is_root & (cnt >= t)
+    is_root = is_root.astype(jnp.int32)
+    n_roots = jnp.sum(is_root)
+
+    # Inclusive raster cumsum: lane prefix within each row plus the
+    # exclusive sum of previous rows' counts (integers — exact).
+    pref = is_root
+    sh = 1
+    while sh < wc:
+        moved = pltpu.roll(pref, sh, axis=1)
+        pref = pref + jnp.where(ci >= sh, moved, 0)
+        sh *= 2
+    rowtot = jnp.sum(is_root, axis=1, keepdims=True)  # (hc, 1)
+    rpref = rowtot
+    sh = 1
+    while sh < hc:
+        moved = jnp.concatenate(
+            [jnp.zeros((sh, 1), jnp.int32), rpref[:-sh]], axis=0
+        )
+        rpref = rpref + moved
+        sh *= 2
+    rank = pref + (rpref - rowtot) - 1
+
+    # Rank indexed at roots only, -1 elsewhere: the loop body then
+    # tests one plane equality instead of two (every cell between
+    # two roots carries the same cumsum value, so the bare rank
+    # plane is ambiguous without the root mask).
+    ranked = jnp.where(is_root == 1, rank, -1)
+
+    def body(r, carry):
+        roots_v, sizes_v = carry
+        hit = ranked == r
+        root_r = jnp.min(jnp.where(hit, lin, p))
+        size_r = jnp.sum((lab == root_r).astype(jnp.int32))
+        roots_v = jnp.where(lane == r, root_r.astype(jnp.float32), roots_v)
+        sizes_v = jnp.where(lane == r, size_r.astype(jnp.float32), sizes_v)
+        return roots_v, sizes_v
+
+    # Unused ranks keep root 0 — fit_quads' one-hot extraction sums
+    # to 0 for an empty rank, and downstream always masks by
+    # lane_used, so 0 is the bit-compatible fill.
+    roots_v = jnp.zeros((1, krp), jnp.float32)
+    sizes_v = jnp.full((1, krp), -1.0, jnp.float32)
+    roots_v, sizes_v = jax.lax.fori_loop(
+        0, jnp.minimum(n_roots, kr), body, (roots_v, sizes_v)
+    )
+    return roots_v, sizes_v, n_roots
+
+
+def _lane_geom(hc, wc, ds):
+    """Per-frame geometry planes for _lane_chain — computed ONCE per
+    kernel invocation and passed in: Mosaic does not hoist
+    loop-invariant plane ops out of fori_loop bodies, so building these
+    inside the per-lane loop costs ~6 plane ops per lane."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 1)
+    lin = ri * wc + ci
+    cxs = (ds - 1) * 0.5
+    cxp = ci.astype(jnp.float32) * ds + cxs
+    cyp = ri.astype(jnp.float32) * ds + cxs
+    return lin, cxp, cyp
+
+
+def _lane_chain(lab, root_k, szf, geom, hc, wc, ds, containment_slack):
+    """Traced per-lane fit chain shared by fit_lanes_kernel and the
+    fused kernel: centroid / extreme corners / containment, fit_quads'
+    exact f32 expressions.  Returns the 11 output scalars
+    [ax, ay, bx, by, cx, cy, dx, dy, frac, cenx, ceny]."""
+    lin, cxp, cyp = geom
+    p = hc * wc
+    cxs = (ds - 1) * 0.5
+    slack = containment_slack * ds
+
+    member = lab == root_k
+    cenx = jnp.sum(jnp.where(member, cxp, 0.0)) / szf
+    ceny = jnp.sum(jnp.where(member, cyp, 0.0)) / szf
+
+    def amax(score):
+        s = jnp.where(member, score, -jnp.inf)
+        m = jnp.max(s)
+        cand = jnp.where(s == m, lin, jnp.int32(p))
+        return jnp.min(cand)
+
+    def amin(score):
+        # First minimum == fit_quads' argmax of -score (the set of
+        # minima of score IS the set of maxima of -score; negation is
+        # sign-exact).
+        s = jnp.where(member, score, jnp.inf)
+        m = jnp.min(s)
+        cand = jnp.where(s == m, lin, jnp.int32(p))
+        return jnp.min(cand)
+
+    def cx_of(i):
+        return (i % wc).astype(jnp.float32) * ds + cxs
+
+    def cy_of(i):
+        return (i // wc).astype(jnp.float32) * ds + cxs
+
+    d2c = (cxp - cenx) ** 2 + (cyp - ceny) ** 2
+    ia = amax(d2c)
+    ax, ay = cx_of(ia), cy_of(ia)
+    d2a = (cxp - ax) ** 2 + (cyp - ay) ** 2
+    ic = amax(d2a)
+    qcx, qcy = cx_of(ic), cy_of(ic)
+    dx = qcx - ax
+    dy = qcy - ay
+    cross = (cxp - ax) * dy - (cyp - ay) * dx
+    ib = amax(cross)
+    idd = amin(cross)  # == amax(-cross), one plane op less
+    bx, by = cx_of(ib), cy_of(ib)
+    ddx, ddy = cx_of(idd), cy_of(idd)
+
+    # Containment: fit_quads' edge chain (edges A->B->C->D->A,
+    # shoelace sign, per-edge slack*len margin), in the EXPANDED
+    # per-edge form cyp*a - cxp*b + c0 with the shoelace sign folded
+    # into the scalar coefficients (mirrored in fit_quads — two plane
+    # ops per edge fewer than the point-difference form).
+    area2 = (
+        ax * by - bx * ay
+        + bx * qcy - qcx * by
+        + qcx * ddy - ddx * qcy
+        + ddx * ay - ax * ddy
+    )
+    sgn = jnp.where(area2 >= 0, 1.0, -1.0)
+    inside = jnp.ones((hc, wc), dtype=bool)
+    for efx, efy, etx, ety in (
+        (ax, ay, bx, by),
+        (bx, by, qcx, qcy),
+        (qcx, qcy, ddx, ddy),
+        (ddx, ddy, ax, ay),
+    ):
+        ex = etx - efx
+        ey = ety - efy
+        elen = jnp.sqrt(ex * ex + ey * ey) + 1e-6
+        av = sgn * ex
+        bv = sgn * ey
+        c0 = bv * efx - av * efy
+        inside = inside & (cyp * av - cxp * bv + c0 >= -slack * elen)
+    frac = jnp.sum(jnp.where(member & inside, 1.0, 0.0)) / szf
+
+    return [ax, ay, bx, by, qcx, qcy, ddx, ddy, frac, cenx, ceny]
+
+
 @functools.partial(
     jax.jit, static_argnames=("kr", "min_px", "interpret")
 )
@@ -65,80 +239,8 @@ def rank_roots_kernel(
     krp = _round_up(kr, 128)
 
     def kernel(lab_ref, out_ref):
-        lab = lab_ref[0]
-        ri = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 0)
-        ci = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 1)
-        lin = ri * wc + ci
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, krp), 1)
-
-        is_root = lab == lin
-        # Pool admission pre-filter (mirrors fit_quads bit-for-bit):
-        # exclude components below the min-size gate via the exact
-        # root-window local count; wrap-around rolls match jnp.roll.
-        t = min(int(min_px), 3)
-        if t > 1:
-            rr2 = t - 1
-            cnt = jnp.zeros((hc, wc), jnp.int32)
-            for dy in range(0, rr2 + 1):
-                rolled_r = (
-                    lab
-                    if dy == 0
-                    else jnp.concatenate([lab[dy:], lab[:dy]], axis=0)
-                )
-                for dx in range(-rr2, rr2 + 1):
-                    if dy == 0 and dx < 0:
-                        continue
-                    sh = pltpu.roll(rolled_r, (-dx) % wc, axis=1)
-                    cnt = cnt + (sh == lab).astype(jnp.int32)
-            is_root = is_root & (cnt >= t)
-        is_root = is_root.astype(jnp.int32)
-        n_roots = jnp.sum(is_root)
-
-        # Inclusive raster cumsum: lane prefix within each row plus the
-        # exclusive sum of previous rows' counts (integers — exact).
-        pref = is_root
-        sh = 1
-        while sh < wc:
-            moved = pltpu.roll(pref, sh, axis=1)
-            pref = pref + jnp.where(ci >= sh, moved, 0)
-            sh *= 2
-        rowtot = jnp.sum(is_root, axis=1, keepdims=True)  # (hc, 1)
-        rpref = rowtot
-        sh = 1
-        while sh < hc:
-            moved = jnp.concatenate(
-                [jnp.zeros((sh, 1), jnp.int32), rpref[:-sh]], axis=0
-            )
-            rpref = rpref + moved
-            sh *= 2
-        rank = pref + (rpref - rowtot) - 1
-
-        # Rank indexed at roots only, -1 elsewhere: the loop body then
-        # tests one plane equality instead of two (every cell between
-        # two roots carries the same cumsum value, so the bare rank
-        # plane is ambiguous without the root mask).
-        ranked = jnp.where(is_root == 1, rank, -1)
-
-        def body(r, carry):
-            roots_v, sizes_v = carry
-            hit = ranked == r
-            root_r = jnp.min(jnp.where(hit, lin, p))
-            size_r = jnp.sum((lab == root_r).astype(jnp.int32))
-            roots_v = jnp.where(
-                lane == r, root_r.astype(jnp.float32), roots_v
-            )
-            sizes_v = jnp.where(
-                lane == r, size_r.astype(jnp.float32), sizes_v
-            )
-            return roots_v, sizes_v
-
-        # Unused ranks keep root 0 — fit_quads' one-hot extraction sums
-        # to 0 for an empty rank, and downstream always masks by
-        # lane_used, so 0 is the bit-compatible fill.
-        roots_v = jnp.zeros((1, krp), jnp.float32)
-        sizes_v = jnp.full((1, krp), -1.0, jnp.float32)
-        roots_v, sizes_v = jax.lax.fori_loop(
-            0, jnp.minimum(n_roots, kr), body, (roots_v, sizes_v)
+        roots_v, sizes_v, n_roots = _rank_pool(
+            lab_ref[0], hc, wc, kr, krp, min_px
         )
         out_ref[0, 0] = roots_v[0]
         out_ref[0, 1] = sizes_v[0]
@@ -211,14 +313,8 @@ def fit_lanes_kernel(
 
     def kernel(lab_ref, par_ref, out_ref):
         lab = lab_ref[0]
-        ri = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 0)
-        ci = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 1)
-        lin = ri * wc + ci
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        cxs = (ds - 1) * 0.5
-        cxp = ci.astype(jnp.float32) * ds + cxs
-        cyp = ri.astype(jnp.float32) * ds + cxs
-        slack = containment_slack * ds
+        geom = _lane_geom(hc, wc, ds)
 
         # Zero the whole output block once, then loop with a DYNAMIC
         # trip count bounded by the last used lane: lanes arrive size-
@@ -239,83 +335,16 @@ def fit_lanes_kernel(
 
             @pl.when(lane_used)
             def _():
-                member = lab == root_k
-                szf = jnp.maximum(size_k, 1.0)
-                cenx = jnp.sum(jnp.where(member, cxp, 0.0)) / szf
-                ceny = jnp.sum(jnp.where(member, cyp, 0.0)) / szf
-
-                def amax(score):
-                    s = jnp.where(member, score, -jnp.inf)
-                    m = jnp.max(s)
-                    cand = jnp.where(s == m, lin, jnp.int32(p))
-                    return jnp.min(cand)
-
-                def amin(score):
-                    # First minimum == fit_quads' argmax of -score (the
-                    # set of minima of score IS the set of maxima of
-                    # -score; negation is sign-exact).
-                    s = jnp.where(member, score, jnp.inf)
-                    m = jnp.min(s)
-                    cand = jnp.where(s == m, lin, jnp.int32(p))
-                    return jnp.min(cand)
-
-                def cx_of(i):
-                    return (i % wc).astype(jnp.float32) * ds + cxs
-
-                def cy_of(i):
-                    return (i // wc).astype(jnp.float32) * ds + cxs
-
-                d2c = (cxp - cenx) ** 2 + (cyp - ceny) ** 2
-                ia = amax(d2c)
-                ax, ay = cx_of(ia), cy_of(ia)
-                d2a = (cxp - ax) ** 2 + (cyp - ay) ** 2
-                ic = amax(d2a)
-                qcx, qcy = cx_of(ic), cy_of(ic)
-                dx = qcx - ax
-                dy = qcy - ay
-                cross = (cxp - ax) * dy - (cyp - ay) * dx
-                ib = amax(cross)
-                idd = amin(cross)  # == amax(-cross), one plane op less
-                bx, by = cx_of(ib), cy_of(ib)
-                ddx, ddy = cx_of(idd), cy_of(idd)
-
-                # Containment: fit_quads' edge chain (edges A->B->C->D
-                # ->A, shoelace sign, per-edge slack*len margin), in
-                # the EXPANDED per-edge form cyp*a - cxp*b + c0 with
-                # the shoelace sign folded into the scalar
-                # coefficients (mirrored in fit_quads — two plane ops
-                # per edge fewer than the point-difference form).
-                area2 = (
-                    ax * by - bx * ay
-                    + bx * qcy - qcx * by
-                    + qcx * ddy - ddx * qcy
-                    + ddx * ay - ax * ddy
+                vals = _lane_chain(
+                    lab,
+                    root_k,
+                    jnp.maximum(size_k, 1.0),
+                    geom,
+                    hc,
+                    wc,
+                    ds,
+                    containment_slack,
                 )
-                sgn = jnp.where(area2 >= 0, 1.0, -1.0)
-                inside = jnp.ones((hc, wc), dtype=bool)
-                for efx, efy, etx, ety in (
-                    (ax, ay, bx, by),
-                    (bx, by, qcx, qcy),
-                    (qcx, qcy, ddx, ddy),
-                    (ddx, ddy, ax, ay),
-                ):
-                    ex = etx - efx
-                    ey = ety - efy
-                    elen = jnp.sqrt(ex * ex + ey * ey) + 1e-6
-                    av = sgn * ex
-                    bv = sgn * ey
-                    c0 = bv * efx - av * efy
-                    inside = inside & (
-                        cyp * av - cxp * bv + c0 >= -slack * elen
-                    )
-                frac = (
-                    jnp.sum(jnp.where(member & inside, 1.0, 0.0)) / szf
-                )
-
-                vals = [
-                    ax, ay, bx, by, qcx, qcy, ddx, ddy,
-                    frac, cenx, ceny,
-                ]
                 row = jnp.zeros((1, 128), jnp.float32)
                 for fi, v in enumerate(vals):
                     row = jnp.where(lane == fi, v, row)
@@ -355,6 +384,232 @@ def fit_lanes_kernel(
         [out[:, :k, _F_CENX], out[:, :k, _F_CENY]], axis=-1
     )
     return quads, cents, out[:, :k, _F_CONTAIN]
+
+
+def _select_topk(roots_v, sizes_v, n_roots, krp, k):
+    """In-kernel reproduction of fit_quads' lane selection:
+    ``lax.top_k(where(used, sizes, -1), k)`` + root gather.  top_k
+    returns the k largest values in descending order with ties broken
+    by LOWER index first; the iterative max + first-index + mask-out
+    below picks the identical sequence (sizes are integers, exact in
+    f32).  Runs min(n_roots, k) rounds over a (1, krp) vector — every
+    round picks a real rank because the rank pool holds
+    min(n_roots, kr) >= min(n_roots, k) real entries (kr >= k).
+    Unpicked lanes keep the (0 root, -1 size) fill, which is exactly
+    what top_k + take_along_axis yield for empty ranks."""
+    lane_kr = jax.lax.broadcasted_iota(jnp.int32, (1, krp), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    n_sel = jnp.minimum(n_roots, k)
+
+    def body(j, carry):
+        sizes_cur, sel_roots, sel_sizes = carry
+        m = jnp.max(sizes_cur)
+        idx = jnp.min(jnp.where(sizes_cur == m, lane_kr, krp))
+        pick = lane_kr == idx
+        root_j = jnp.sum(jnp.where(pick, roots_v, 0.0))
+        sel_roots = jnp.where(lane == j, root_j, sel_roots)
+        sel_sizes = jnp.where(lane == j, m, sel_sizes)
+        sizes_cur = jnp.where(pick, -2.0, sizes_cur)
+        return sizes_cur, sel_roots, sel_sizes
+
+    _, sel_roots, sel_sizes = jax.lax.fori_loop(
+        0,
+        n_sel,
+        body,
+        (
+            sizes_v,
+            jnp.zeros((1, 128), jnp.float32),
+            jnp.full((1, 128), -1.0, jnp.float32),
+        ),
+    )
+    return sel_roots, sel_sizes, n_sel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "kr1", "k1", "kr2", "k2", "ds", "min_px",
+        "containment_slack", "interpret",
+    ),
+)
+def _fused_fit_call(
+    labels1,
+    labels2,  # None for the single-pass variant
+    kr1: int,
+    k1: int,
+    kr2: int,
+    k2: int,
+    ds: int,
+    min_px: int,
+    containment_slack: float,
+    interpret: bool = False,
+):
+    """ONE pallas launch for the whole fit stage (both label planes):
+    rank pool -> top-k-by-size selection -> per-lane fit chain, all per
+    grid step.  The split rank/select/fit pipeline paid a ~1.1 ms
+    per-batch launch floor (grid walk + plane DMA issue) on each of its
+    FOUR kernel launches; fusing collapses them to one walk and streams
+    each plane once."""
+    b, hc, wc = labels1.shape
+    two = labels2 is not None
+    kp1 = _round_up(k1, 8)
+    kp2 = _round_up(k2, 8) if two else 0
+    nstat = 6 if two else 3
+    rp = _round_up(kp1 + kp2 + nstat, 8)
+    krp1 = _round_up(kr1, 128)
+    krp2 = _round_up(kr2, 128) if two else 0
+
+    def kernel(*refs):
+        out_ref = refs[-1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        out_ref[0] = jnp.zeros((rp, 128), jnp.float32)
+        geom = _lane_geom(hc, wc, ds)  # shared by both passes
+
+        def one_pass(lab, kr, krp, k, row0, srow):
+            roots_v, sizes_v, n_roots = _rank_pool(
+                lab, hc, wc, kr, krp, min_px
+            )
+            sel_roots, sel_sizes, n_sel = _select_topk(
+                roots_v, sizes_v, n_roots, krp, k
+            )
+            out_ref[0, srow] = sel_roots[0]
+            out_ref[0, srow + 1] = sel_sizes[0]
+            out_ref[0, srow + 2] = jnp.full(
+                (128,), n_roots, jnp.int32
+            ).astype(jnp.float32)
+
+            def lane_body(kk, carry):
+                # Selected lanes are a size-sorted prefix (trip covers
+                # exactly the used lanes), so no pl.when gate is needed;
+                # scalar reads are masked reductions (dynamic LANE
+                # indices must be 128-multiples in Mosaic).
+                hit = lane == kk
+                root_k = jnp.sum(
+                    jnp.where(hit, sel_roots, 0.0)
+                ).astype(jnp.int32)
+                size_k = jnp.sum(jnp.where(hit, sel_sizes, 0.0))
+                vals = _lane_chain(
+                    lab,
+                    root_k,
+                    jnp.maximum(size_k, 1.0),
+                    geom,
+                    hc,
+                    wc,
+                    ds,
+                    containment_slack,
+                )
+                row = jnp.zeros((1, 128), jnp.float32)
+                for fi, v in enumerate(vals):
+                    row = jnp.where(lane == fi, v, row)
+                out_ref[0, row0 + kk] = row[0]
+                return carry
+
+            jax.lax.fori_loop(0, n_sel, lane_body, 0)
+
+        one_pass(refs[0][0], kr1, krp1, k1, 0, kp1 + kp2)
+        if two:
+            one_pass(refs[1][0], kr2, krp2, k2, kp1, kp1 + kp2 + 3)
+
+    plane_spec = pl.BlockSpec(
+        (1, hc, wc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [plane_spec, plane_spec] if two else [plane_spec]
+    operands = (labels1, labels2) if two else (labels1,)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, rp, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, rp, 128), jnp.float32),
+        interpret=interpret,
+    )(*operands)
+
+
+def _rank_pool_size(k: int, p: int) -> int:
+    # fit_quads' grid-scaled ranking-pool formula (segment.py).
+    return max(k, min(p, max(4 * k, 64, min(p // 16, 1024))))
+
+
+def fused_fit_batch(
+    labels1: jnp.ndarray,  # (B, Hc, Wc) int32
+    labels2: jnp.ndarray | None,  # (B, Hc, Wc) int32 (inner pass)
+    ds: int,
+    params,  # segment.QuadParams
+    k1: int,
+    k2: int,
+    interpret: bool = False,
+):
+    """Single-launch batched fit of both label planes: returns
+    (fit1, fit2) dicts bit-matching jax.vmap(segment.fit_quads) per
+    plane (fit2 is None when k2 == 0).  Falls back to the split
+    kernels for K > 128 (selected lanes ride one 128-lane vector)."""
+    if k1 > 128 or k2 > 128:
+        fit1 = fit_quads_batch(labels1, ds, params, k1, interpret)
+        fit2 = (
+            fit_quads_batch(labels2, ds, params, k2, interpret)
+            if k2 > 0
+            else None
+        )
+        return fit1, fit2
+    b, hc, wc = labels1.shape
+    p = hc * wc
+    two = k2 > 0 and labels2 is not None
+    kr1 = _rank_pool_size(k1, p)
+    kr2 = _rank_pool_size(k2, p) if two else 0
+    kp1 = _round_up(k1, 8)
+    kp2 = _round_up(k2, 8) if two else 0
+    out = _fused_fit_call(
+        labels1,
+        labels2 if two else None,
+        kr1,
+        k1,
+        kr2,
+        k2,
+        ds,
+        int(params.min_component_px),
+        float(params.containment_slack),
+        interpret=interpret,
+    )
+
+    def unpack(row0, srow, k):
+        rows = out[:, row0 : row0 + k]
+        quads = jnp.stack(
+            [
+                jnp.stack([rows[..., _F_AX], rows[..., _F_AY]], axis=-1),
+                jnp.stack([rows[..., _F_BX], rows[..., _F_BY]], axis=-1),
+                jnp.stack([rows[..., _F_CX], rows[..., _F_CY]], axis=-1),
+                jnp.stack([rows[..., _F_DX], rows[..., _F_DY]], axis=-1),
+            ],
+            axis=-2,
+        )
+        cents = jnp.stack(
+            [rows[..., _F_CENX], rows[..., _F_CENY]], axis=-1
+        )
+        frac = rows[..., _F_CONTAIN]
+        roots = out[:, srow, :k].astype(jnp.int32)
+        sizes = out[:, srow + 1, :k].astype(jnp.int32)
+        n_roots = out[:, srow + 2, 0].astype(jnp.int32)
+        lane_used = sizes >= 0
+        sizes_pos = jnp.maximum(sizes, 0)
+        valid = (
+            lane_used
+            & (sizes_pos >= params.min_component_px)
+            & (frac >= params.min_containment)
+        )
+        return {
+            "quads": quads,
+            "valid": valid,
+            "roots": roots,
+            "centroids": cents,
+            "sizes": sizes_pos,
+            "qualifying": n_roots,
+        }
+
+    fit1 = unpack(0, kp1 + kp2, k1)
+    fit2 = unpack(kp1, kp1 + kp2 + 3, k2) if two else None
+    return fit1, fit2
 
 
 def fit_quads_batch(

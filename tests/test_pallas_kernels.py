@@ -342,6 +342,54 @@ def test_fit_pallas_matches_fit_quads(rng):
                 assert abs(da - db) < 1e-2, (bi, kk, qa[bi, kk], qb[bi, kk])
 
 
+def test_fused_fit_matches_fit_quads(rng):
+    """The single-launch fused fit (rank + top-k select + fit for both
+    label planes in one kernel) must reproduce segment.fit_quads on
+    each plane exactly like the split kernels do — including the
+    in-kernel top-k selection's stable descending order with
+    lower-index tie-breaks."""
+    from aruco3_tpu.ops.fit_pallas import fused_fit_batch
+
+    p = segment.QuadParams()
+    for shape, density, k1, k2 in [
+        ((40, 54), 0.35, 32, 12),
+        ((40, 54), 0.6, 32, 12),   # dense: many equal-size components
+        ((30, 40), 0.3, 12, 8),
+        ((80, 54), 0.45, 32, 0),   # single-pass variant (k2 == 0)
+    ]:
+        c = jnp.asarray(rng.random((3,) + shape) < density)
+        l1, l2 = jax.vmap(lambda m: segment.label_planes(m, p))(c)
+        got1, got2 = fused_fit_batch(
+            l1, l2 if k2 else None, 6, p, k1, k2, interpret=True
+        )
+        checks = [(got1, l1, k1)] + ([(got2, l2, k2)] if k2 else [])
+        assert (got2 is None) == (k2 == 0)
+        for got, lab, k in checks:
+            ref = jax.vmap(
+                lambda la: segment.fit_quads(la, 6, p, k=k)
+            )(lab)
+            for key in ("valid", "sizes", "qualifying", "roots"):
+                np.testing.assert_array_equal(
+                    np.asarray(got[key]), np.asarray(ref[key]),
+                    err_msg=key,
+                )
+            used = np.asarray(got["sizes"]) > 0
+            qa = np.asarray(got["quads"])
+            qb = np.asarray(ref["quads"])
+            ca = np.asarray(got["centroids"])
+            for bi in range(qa.shape[0]):
+                for kk in range(k):
+                    if not used[bi, kk]:
+                        continue
+                    if np.array_equal(qa[bi, kk], qb[bi, kk]):
+                        continue
+                    da = ((qa[bi, kk, 0] - ca[bi, kk]) ** 2).sum()
+                    db = ((qb[bi, kk, 0] - ca[bi, kk]) ** 2).sum()
+                    assert abs(da - db) < 1e-2, (
+                        bi, kk, qa[bi, kk], qb[bi, kk],
+                    )
+
+
 def test_refine_pallas_odd_candidate_count(rng):
     """Odd max_candidates (public DetectorConfig knob) must work: the
     batched kernel pads each frame's window list to the DMA group width."""

@@ -87,17 +87,11 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
             acc.append(jnp.sum(labels1[:, 32:64, :128]))
             acc.append(jnp.sum(labels2[:, 32:64, :128]))
         if upto >= 2:
-            from aruco3_tpu.ops.fit_pallas import fit_quads_batch
+            from aruco3_tpu.ops.fit_pallas import fused_fit_batch
 
-            fit1 = fit_quads_batch(
-                labels1, ds, params, params.max_candidates
-            )
-            fit2 = (
-                fit_quads_batch(
-                    labels2, ds, params, params.max_inner_candidates
-                )
-                if params.max_inner_candidates > 0
-                else None
+            fit1, fit2 = fused_fit_batch(
+                labels1, labels2, ds, params,
+                params.max_candidates, params.max_inner_candidates,
             )
             cand = jax.vmap(
                 lambda lab, lab2, f1, f2: segment.merge_fits(

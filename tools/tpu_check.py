@@ -132,12 +132,9 @@ def check_fit():
         (rng.random((1, 270, 100)) < 0.35, 32),  # tall grid
         (rng.random((1, 40, 54)) < 0.35, 32),    # hc < 64: dense-only
     ]
-    ok = True
-    for c, k in cases:
-        c = jnp.asarray(c)
-        l1, _ = jax.vmap(lambda m: segment.label_planes(m, p))(c)
-        got = fit_quads_batch(l1, 6, p, k)
-        ref = jax.vmap(lambda lab: segment.fit_quads(lab, 6, p, k=k))(l1)
+    from aruco3_tpu.ops.fit_pallas import fused_fit_batch
+
+    def cmp_one(got, ref, tag, shape, k):
         e = True
         for key in ("valid", "sizes", "qualifying", "roots"):
             e = e and np.array_equal(
@@ -154,8 +151,25 @@ def check_fit():
             da = ((qa[bi, kk, 0] - ca[bi, kk]) ** 2).sum()
             db = ((qb[bi, kk, 0] - ca[bi, kk]) ** 2).sum()
             e = e and abs(da - db) < 1e-2
-        print(f"fit {tuple(c.shape)} k={k}: ok={e}", flush=True)
-        ok = ok and e
+        print(f"fit[{tag}] {shape} k={k}: ok={e}", flush=True)
+        return e
+
+    ok = True
+    for c, k in cases:
+        c = jnp.asarray(c)
+        l1, l2 = jax.vmap(lambda m: segment.label_planes(m, p))(c)
+        got = fit_quads_batch(l1, 6, p, k)
+        ref = jax.vmap(lambda lab: segment.fit_quads(lab, 6, p, k=k))(l1)
+        ok = ok and cmp_one(got, ref, "split", tuple(c.shape), k)
+        # Fused single-launch path (the detector's production route):
+        # both planes, in-kernel top-k selection.
+        k2 = p.max_inner_candidates
+        f1, f2 = fused_fit_batch(l1, l2, 6, p, k, k2)
+        ref2 = jax.vmap(
+            lambda lab: segment.fit_quads(lab, 6, p, k=k2)
+        )(l2)
+        ok = ok and cmp_one(f1, ref, "fused1", tuple(c.shape), k)
+        ok = ok and cmp_one(f2, ref2, "fused2", tuple(c.shape), k2)
     return ok
 
 
