@@ -42,17 +42,13 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _rank_pool(lab, hc, wc, kr, krp, min_px):
-    """Traced rank-pool body shared by rank_roots_kernel and the fused
-    kernel: raster-ranked (root, size) pairs with the min-size admission
-    pre-filter, dynamic trip min(n_roots, kr).  Returns (roots_v,
-    sizes_v) as (1, krp) f32 vectors (-1 size fill on empty ranks) and
-    the scalar root count."""
+def _rank_prep(lab, hc, wc, min_px):
+    """Plane-dense fixed part of the rank pool (admission pre-filter +
+    raster cumsum): returns the ``ranked`` plane (rank at root cells,
+    -1 elsewhere — one cell per rank) and the root count."""
     ri = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 1)
     lin = ri * wc + ci
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, krp), 1)
-    p = hc * wc
 
     is_root = lab == lin
     # Pool admission pre-filter (mirrors fit_quads bit-for-bit):
@@ -101,6 +97,21 @@ def _rank_pool(lab, hc, wc, kr, krp, min_px):
     # two roots carries the same cumsum value, so the bare rank
     # plane is ambiguous without the root mask).
     ranked = jnp.where(is_root == 1, rank, -1)
+    return ranked, n_roots
+
+
+def _rank_pool(lab, hc, wc, kr, krp, min_px):
+    """Traced rank-pool body shared by rank_roots_kernel and the fused
+    kernel: raster-ranked (root, size) pairs with the min-size admission
+    pre-filter, dynamic trip min(n_roots, kr).  Returns (roots_v,
+    sizes_v) as (1, krp) f32 vectors (-1 size fill on empty ranks) and
+    the scalar root count."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 1)
+    lin = ri * wc + ci
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, krp), 1)
+    p = hc * wc
+    ranked, n_roots = _rank_prep(lab, hc, wc, min_px)
 
     def body(r, carry):
         roots_v, sizes_v = carry
@@ -386,45 +397,6 @@ def fit_lanes_kernel(
     return quads, cents, out[:, :k, _F_CONTAIN]
 
 
-def _select_topk(roots_v, sizes_v, n_roots, krp, k):
-    """In-kernel reproduction of fit_quads' lane selection:
-    ``lax.top_k(where(used, sizes, -1), k)`` + root gather.  top_k
-    returns the k largest values in descending order with ties broken
-    by LOWER index first; the iterative max + first-index + mask-out
-    below picks the identical sequence (sizes are integers, exact in
-    f32).  Runs min(n_roots, k) rounds over a (1, krp) vector — every
-    round picks a real rank because the rank pool holds
-    min(n_roots, kr) >= min(n_roots, k) real entries (kr >= k).
-    Unpicked lanes keep the (0 root, -1 size) fill, which is exactly
-    what top_k + take_along_axis yield for empty ranks."""
-    lane_kr = jax.lax.broadcasted_iota(jnp.int32, (1, krp), 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    n_sel = jnp.minimum(n_roots, k)
-
-    def body(j, carry):
-        sizes_cur, sel_roots, sel_sizes = carry
-        m = jnp.max(sizes_cur)
-        idx = jnp.min(jnp.where(sizes_cur == m, lane_kr, krp))
-        pick = lane_kr == idx
-        root_j = jnp.sum(jnp.where(pick, roots_v, 0.0))
-        sel_roots = jnp.where(lane == j, root_j, sel_roots)
-        sel_sizes = jnp.where(lane == j, m, sel_sizes)
-        sizes_cur = jnp.where(pick, -2.0, sizes_cur)
-        return sizes_cur, sel_roots, sel_sizes
-
-    _, sel_roots, sel_sizes = jax.lax.fori_loop(
-        0,
-        n_sel,
-        body,
-        (
-            sizes_v,
-            jnp.zeros((1, 128), jnp.float32),
-            jnp.full((1, 128), -1.0, jnp.float32),
-        ),
-    )
-    return sel_roots, sel_sizes, n_sel
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -446,69 +418,221 @@ def _fused_fit_call(
 ):
     """ONE pallas launch for the whole fit stage (both label planes):
     rank pool -> top-k-by-size selection -> per-lane fit chain, all per
-    grid step.  The split rank/select/fit pipeline paid a ~1.1 ms
-    per-batch launch floor (grid walk + plane DMA issue) on each of its
-    FOUR kernel launches; fusing collapses them to one walk and streams
-    each plane once."""
+    grid step (replaces four pallas_calls + XLA top_k glue and streams
+    each plane once).
+
+    The in-kernel selection reproduces fit_quads' lane selection
+    ``lax.top_k(where(used, sizes, -1), k)`` + root gather exactly:
+    top_k returns the k largest values in descending order with ties
+    broken by LOWER index first, and the iterative max + first-index +
+    mask-out picks the identical sequence (sizes are integers, exact in
+    f32).  Every round picks a real rank because the rank pool holds
+    min(n_roots, kr) >= min(n_roots, k) real entries (kr >= k);
+    unpicked lanes keep the (0 root, -1 size) fill, exactly what
+    top_k + take_along_axis yield for empty ranks."""
     b, hc, wc = labels1.shape
     two = labels2 is not None
     kp1 = _round_up(k1, 8)
     kp2 = _round_up(k2, 8) if two else 0
     nstat = 6 if two else 3
-    rp = _round_up(kp1 + kp2 + nstat, 8)
+    # +1: a spare garbage row — over-scheduled interleave chains write
+    # there instead of branching (see below).
+    rp = _round_up(kp1 + kp2 + nstat + 1, 8)
     krp1 = _round_up(kr1, 128)
     krp2 = _round_up(kr2, 128) if two else 0
 
+    # The stage is LATENCY-bound on serialized scalar reductions (each
+    # full-plane max/min/sum -> broadcast chain measured ~100-150 ns;
+    # rank 1.2 ms + select 1.1 ms + lane chains 4.5 ms per batch-128
+    # at ~18 components/frame).  Every loop below therefore runs
+    # SEVERAL INDEPENDENT chains per iteration — two per pass (ranks /
+    # lanes are independent of each other) and both passes side by
+    # side — so the compiler can overlap their reduction latencies.
+    # Per-pass VALUES and write order are unchanged (chains touch
+    # disjoint lanes/rows); over-scheduled chains are masked by
+    # writing to a dead lane index (no lane matches) or the spare
+    # output row, never by a branch (a pl.when block would forbid the
+    # cross-chain scheduling this exists for).
     def kernel(*refs):
         out_ref = refs[-1]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         out_ref[0] = jnp.zeros((rp, 128), jnp.float32)
         geom = _lane_geom(hc, wc, ds)  # shared by both passes
+        lin, _, _ = geom
+        p = hc * wc
+        spare = rp - 1
 
-        def one_pass(lab, kr, krp, k, row0, srow):
-            roots_v, sizes_v, n_roots = _rank_pool(
-                lab, hc, wc, kr, krp, min_px
+        lab1 = refs[0][0]
+        ranked1, n1 = _rank_prep(lab1, hc, wc, min_px)
+        lane_kr1 = jax.lax.broadcasted_iota(jnp.int32, (1, krp1), 1)
+        t1 = jnp.minimum(n1, kr1)
+        h1 = (t1 + 1) // 2
+        if two:
+            lab2 = refs[1][0]
+            ranked2, n2 = _rank_prep(lab2, hc, wc, min_px)
+            lane_kr2 = jax.lax.broadcasted_iota(
+                jnp.int32, (1, krp2), 1
             )
-            sel_roots, sel_sizes, n_sel = _select_topk(
-                roots_v, sizes_v, n_roots, krp, k
+            t2 = jnp.minimum(n2, kr2)
+            h2 = (t2 + 1) // 2
+
+        # ---- rank extraction: 2 chains per pass, both passes ----
+        def rank_one(ranked, lab, r_idx, valid, rv, sv, lane_kr, krp):
+            tgt = jnp.where(valid, r_idx, krp)  # krp: no lane matches
+            hit = ranked == r_idx
+            root_r = jnp.min(jnp.where(hit, lin, p))
+            size_r = jnp.sum((lab == root_r).astype(jnp.int32))
+            rv = jnp.where(
+                lane_kr == tgt, root_r.astype(jnp.float32), rv
             )
-            out_ref[0, srow] = sel_roots[0]
-            out_ref[0, srow + 1] = sel_sizes[0]
-            out_ref[0, srow + 2] = jnp.full(
-                (128,), n_roots, jnp.int32
+            sv = jnp.where(
+                lane_kr == tgt, size_r.astype(jnp.float32), sv
+            )
+            return rv, sv
+
+        rv1 = jnp.zeros((1, krp1), jnp.float32)
+        sv1 = jnp.full((1, krp1), -1.0, jnp.float32)
+        if two:
+            rv2 = jnp.zeros((1, krp2), jnp.float32)
+            sv2 = jnp.full((1, krp2), -1.0, jnp.float32)
+
+            def rank_body(r, carry):
+                rv1, sv1, rv2, sv2 = carry
+                rv1, sv1 = rank_one(
+                    ranked1, lab1, r, r < h1, rv1, sv1, lane_kr1, krp1
+                )
+                rv1, sv1 = rank_one(
+                    ranked1, lab1, r + h1, r + h1 < t1,
+                    rv1, sv1, lane_kr1, krp1,
+                )
+                rv2, sv2 = rank_one(
+                    ranked2, lab2, r, r < h2, rv2, sv2, lane_kr2, krp2
+                )
+                rv2, sv2 = rank_one(
+                    ranked2, lab2, r + h2, r + h2 < t2,
+                    rv2, sv2, lane_kr2, krp2,
+                )
+                return rv1, sv1, rv2, sv2
+
+            rv1, sv1, rv2, sv2 = jax.lax.fori_loop(
+                0, jnp.maximum(h1, h2), rank_body,
+                (rv1, sv1, rv2, sv2),
+            )
+        else:
+
+            def rank_body(r, carry):
+                rv1, sv1 = carry
+                rv1, sv1 = rank_one(
+                    ranked1, lab1, r, r < h1, rv1, sv1, lane_kr1, krp1
+                )
+                rv1, sv1 = rank_one(
+                    ranked1, lab1, r + h1, r + h1 < t1,
+                    rv1, sv1, lane_kr1, krp1,
+                )
+                return rv1, sv1
+
+            rv1, sv1 = jax.lax.fori_loop(0, h1, rank_body, (rv1, sv1))
+
+        # ---- top-k selection: sequential within a pass (each round
+        # masks out its pick), interleaved across passes ----
+        def sel_one(j, sc, sr, ss, valid, rv, lane_kr, krp):
+            m = jnp.max(sc)
+            idx = jnp.min(jnp.where(sc == m, lane_kr, krp))
+            pick = lane_kr == jnp.where(valid, idx, krp + 1)
+            root_j = jnp.sum(jnp.where(pick, rv, 0.0))
+            tgt = jnp.where(valid, j, 128)
+            sr = jnp.where(lane == tgt, root_j, sr)
+            ss = jnp.where(lane == tgt, m, ss)
+            sc = jnp.where(pick, -2.0, sc)
+            return sc, sr, ss
+
+        ns1 = jnp.minimum(n1, k1)
+        sr1 = jnp.zeros((1, 128), jnp.float32)
+        ss1 = jnp.full((1, 128), -1.0, jnp.float32)
+        if two:
+            ns2 = jnp.minimum(n2, k2)
+            sr2 = jnp.zeros((1, 128), jnp.float32)
+            ss2 = jnp.full((1, 128), -1.0, jnp.float32)
+
+            def sel_body(j, carry):
+                sc1, sr1, ss1, sc2, sr2, ss2 = carry
+                sc1, sr1, ss1 = sel_one(
+                    j, sc1, sr1, ss1, j < ns1, rv1, lane_kr1, krp1
+                )
+                sc2, sr2, ss2 = sel_one(
+                    j, sc2, sr2, ss2, j < ns2, rv2, lane_kr2, krp2
+                )
+                return sc1, sr1, ss1, sc2, sr2, ss2
+
+            _, sr1, ss1, _, sr2, ss2 = jax.lax.fori_loop(
+                0, jnp.maximum(ns1, ns2), sel_body,
+                (sv1, sr1, ss1, sv2, sr2, ss2),
+            )
+        else:
+
+            def sel_body(j, carry):
+                sc1, sr1, ss1 = carry
+                return sel_one(
+                    j, sc1, sr1, ss1, j < ns1, rv1, lane_kr1, krp1
+                )
+
+            _, sr1, ss1 = jax.lax.fori_loop(
+                0, ns1, sel_body, (sv1, sr1, ss1)
+            )
+
+        srow = kp1 + kp2
+        out_ref[0, srow] = sr1[0]
+        out_ref[0, srow + 1] = ss1[0]
+        out_ref[0, srow + 2] = jnp.full((128,), n1, jnp.int32).astype(
+            jnp.float32
+        )
+        if two:
+            out_ref[0, srow + 3] = sr2[0]
+            out_ref[0, srow + 4] = ss2[0]
+            out_ref[0, srow + 5] = jnp.full(
+                (128,), n2, jnp.int32
             ).astype(jnp.float32)
 
+        # ---- per-lane fit chains: 2 per pass, both passes ----
+        def fit_one(lab, sr, ss, kk_idx, valid, row0):
+            hit = lane == jnp.where(valid, kk_idx, 128)
+            root_k = jnp.sum(jnp.where(hit, sr, 0.0)).astype(jnp.int32)
+            size_k = jnp.sum(jnp.where(hit, ss, 0.0))
+            vals = _lane_chain(
+                lab,
+                root_k,
+                jnp.maximum(size_k, 1.0),
+                geom,
+                hc,
+                wc,
+                ds,
+                containment_slack,
+            )
+            row = jnp.zeros((1, 128), jnp.float32)
+            for fi, v in enumerate(vals):
+                row = jnp.where(lane == fi, v, row)
+            out_ref[0, jnp.where(valid, row0 + kk_idx, spare)] = row[0]
+
+        ha = (ns1 + 1) // 2
+        if two:
+            hb = (ns2 + 1) // 2
+
             def lane_body(kk, carry):
-                # Selected lanes are a size-sorted prefix (trip covers
-                # exactly the used lanes), so no pl.when gate is needed;
-                # scalar reads are masked reductions (dynamic LANE
-                # indices must be 128-multiples in Mosaic).
-                hit = lane == kk
-                root_k = jnp.sum(
-                    jnp.where(hit, sel_roots, 0.0)
-                ).astype(jnp.int32)
-                size_k = jnp.sum(jnp.where(hit, sel_sizes, 0.0))
-                vals = _lane_chain(
-                    lab,
-                    root_k,
-                    jnp.maximum(size_k, 1.0),
-                    geom,
-                    hc,
-                    wc,
-                    ds,
-                    containment_slack,
-                )
-                row = jnp.zeros((1, 128), jnp.float32)
-                for fi, v in enumerate(vals):
-                    row = jnp.where(lane == fi, v, row)
-                out_ref[0, row0 + kk] = row[0]
+                fit_one(lab1, sr1, ss1, kk, kk < ha, 0)
+                fit_one(lab1, sr1, ss1, kk + ha, kk + ha < ns1, 0)
+                fit_one(lab2, sr2, ss2, kk, kk < hb, kp1)
+                fit_one(lab2, sr2, ss2, kk + hb, kk + hb < ns2, kp1)
                 return carry
 
-            jax.lax.fori_loop(0, n_sel, lane_body, 0)
+            jax.lax.fori_loop(0, jnp.maximum(ha, hb), lane_body, 0)
+        else:
 
-        one_pass(refs[0][0], kr1, krp1, k1, 0, kp1 + kp2)
-        if two:
-            one_pass(refs[1][0], kr2, krp2, k2, kp1, kp1 + kp2 + 3)
+            def lane_body(kk, carry):
+                fit_one(lab1, sr1, ss1, kk, kk < ha, 0)
+                fit_one(lab1, sr1, ss1, kk + ha, kk + ha < ns1, 0)
+                return carry
+
+            jax.lax.fori_loop(0, ha, lane_body, 0)
 
     plane_spec = pl.BlockSpec(
         (1, hc, wc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
