@@ -351,6 +351,7 @@ def detect_batch_arrays(
             params,
             params.max_candidates,
             params.max_inner_candidates,
+            dup_skip=True,
         )
         cand = jax.vmap(
             lambda lab, lab2, f1, f2: segment.merge_fits(

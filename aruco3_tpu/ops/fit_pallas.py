@@ -401,7 +401,7 @@ def fit_lanes_kernel(
     jax.jit,
     static_argnames=(
         "kr1", "k1", "kr2", "k2", "ds", "min_px",
-        "containment_slack", "interpret",
+        "containment_slack", "min_containment", "dup_skip", "interpret",
     ),
 )
 def _fused_fit_call(
@@ -414,6 +414,8 @@ def _fused_fit_call(
     ds: int,
     min_px: int,
     containment_slack: float,
+    min_containment: float = 0.0,
+    dup_skip: bool = False,
     interpret: bool = False,
 ):
     """ONE pallas launch for the whole fit stage (both label planes):
@@ -593,8 +595,8 @@ def _fused_fit_call(
                 (128,), n2, jnp.int32
             ).astype(jnp.float32)
 
-        # ---- per-lane fit chains: 2 per pass, both passes ----
-        def fit_one(lab, sr, ss, kk_idx, valid, row0):
+        # ---- per-lane fit chains ----
+        def fit_one(lab, sr, ss, kk_idx, valid, row0, frac_v=None):
             hit = lane == jnp.where(valid, kk_idx, 128)
             root_k = jnp.sum(jnp.where(hit, sr, 0.0)).astype(jnp.int32)
             size_k = jnp.sum(jnp.where(hit, ss, 0.0))
@@ -612,27 +614,82 @@ def _fused_fit_call(
             for fi, v in enumerate(vals):
                 row = jnp.where(lane == fi, v, row)
             out_ref[0, jnp.where(valid, row0 + kk_idx, spare)] = row[0]
+            if frac_v is None:
+                return None
+            tgt = jnp.where(valid, kk_idx, 128)
+            return jnp.where(lane == tgt, vals[_F_CONTAIN], frac_v)
 
+        # Pass 1 (two interleaved chains), carrying the frac vector so
+        # the twin pre-kill below can form fit1's valid lanes in-kernel.
         ha = (ns1 + 1) // 2
+
+        def lane1_body(kk, frac_v):
+            frac_v = fit_one(lab1, sr1, ss1, kk, kk < ha, 0, frac_v)
+            return fit_one(
+                lab1, sr1, ss1, kk + ha, kk + ha < ns1, 0, frac_v
+            )
+
+        frac1 = jax.lax.fori_loop(
+            0, ha, lane1_body, jnp.zeros((1, 128), jnp.float32)
+        )
+
         if two:
-            hb = (ns2 + 1) // 2
+            if dup_skip:
+                # fit1's valid lanes, exactly the wrapper's formula
+                # (lane_used is implied: unused lanes hold size -1).
+                valid1v = (ss1 >= float(min_px)) & (
+                    frac1 >= min_containment
+                )
 
-            def lane_body(kk, carry):
-                fit_one(lab1, sr1, ss1, kk, kk < ha, 0)
-                fit_one(lab1, sr1, ss1, kk + ha, kk + ha < ns1, 0)
-                fit_one(lab2, sr2, ss2, kk, kk < hb, kp1)
-                fit_one(lab2, sr2, ss2, kk + hb, kk + hb < ns2, kp1)
+            def lane2_body(kk, carry):
+                hit = lane == kk
+                root2f = jnp.sum(jnp.where(hit, sr2, 0.0))
+                size2f = jnp.sum(jnp.where(hit, ss2, 0.0))
+                if dup_skip:
+                    # merge_fits' exact-twin rule (segment.py): same
+                    # (root, size) as a VALID outer lane means the same
+                    # hole-filled cell set — the merge kills this lane,
+                    # so its fit chain never runs; the zeroed row keeps
+                    # frac 0 (invalid) and downstream never reads dead
+                    # lanes' quads.
+                    twin = jnp.any(
+                        (sr1 == root2f) & (ss1 == size2f) & valid1v
+                    )
+
+                    @pl.when(jnp.logical_not(twin))
+                    def _():
+                        vals = _lane_chain(
+                            lab2,
+                            root2f.astype(jnp.int32),
+                            jnp.maximum(size2f, 1.0),
+                            geom,
+                            hc,
+                            wc,
+                            ds,
+                            containment_slack,
+                        )
+                        row = jnp.zeros((1, 128), jnp.float32)
+                        for fi, v in enumerate(vals):
+                            row = jnp.where(lane == fi, v, row)
+                        out_ref[0, kp1 + kk] = row[0]
+                else:
+                    vals = _lane_chain(
+                        lab2,
+                        root2f.astype(jnp.int32),
+                        jnp.maximum(size2f, 1.0),
+                        geom,
+                        hc,
+                        wc,
+                        ds,
+                        containment_slack,
+                    )
+                    row = jnp.zeros((1, 128), jnp.float32)
+                    for fi, v in enumerate(vals):
+                        row = jnp.where(lane == fi, v, row)
+                    out_ref[0, kp1 + kk] = row[0]
                 return carry
 
-            jax.lax.fori_loop(0, jnp.maximum(ha, hb), lane_body, 0)
-        else:
-
-            def lane_body(kk, carry):
-                fit_one(lab1, sr1, ss1, kk, kk < ha, 0)
-                fit_one(lab1, sr1, ss1, kk + ha, kk + ha < ns1, 0)
-                return carry
-
-            jax.lax.fori_loop(0, ha, lane_body, 0)
+            jax.lax.fori_loop(0, ns2, lane2_body, 0)
 
     plane_spec = pl.BlockSpec(
         (1, hc, wc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -663,12 +720,22 @@ def fused_fit_batch(
     params,  # segment.QuadParams
     k1: int,
     k2: int,
+    dup_skip: bool = False,
     interpret: bool = False,
 ):
     """Single-launch batched fit of both label planes: returns
     (fit1, fit2) dicts bit-matching jax.vmap(segment.fit_quads) per
     plane (fit2 is None when k2 == 0).  Falls back to the split
-    kernels for K > 128 (selected lanes ride one 128-lane vector)."""
+    kernels for K > 128 (selected lanes ride one 128-lane vector).
+
+    dup_skip=True (the detector's production setting) skips the fit
+    chain of inner lanes whose (root, size) match a valid outer lane —
+    segment.merge_fits' exact-twin rule kills those lanes anyway, and
+    on marker scenes they are about half the per-frame lane chains.
+    Skipped lanes return zero quads and frac 0 (invalid); merged
+    results are identical because downstream never reads dead lanes'
+    quads (refine/warp skip invalid lanes, finalize's near-duplicate
+    gate masks by valid, markers list only valid lanes)."""
     if k1 > 128 or k2 > 128:
         fit1 = fit_quads_batch(labels1, ds, params, k1, interpret)
         fit2 = (
@@ -694,6 +761,8 @@ def fused_fit_batch(
         ds,
         int(params.min_component_px),
         float(params.containment_slack),
+        min_containment=float(params.min_containment),
+        dup_skip=bool(dup_skip) and two,
         interpret=interpret,
     )
 

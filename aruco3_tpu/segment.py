@@ -828,7 +828,22 @@ def merge_fits(
             ).max(axis=(2, 3))
             best = jnp.minimum(best, dist)
         dup = (best <= INNER_DUP_CHEBYSHEV_DS * ds) & fit["valid"][None, :]
-        fit2["valid"] = fit2["valid"] & ~jnp.any(dup, axis=1)
+        # Exact-twin rule: a free-standing marker's hole-filled ring is
+        # the SAME cell set in both passes, so its inner re-fit shares
+        # the outer lane's (root, size) — root is the raster-min member
+        # and both planes index the same cropped linear space.  Equal
+        # sets fit identical quads, so the Chebyshev rule above would
+        # kill these anyway; testing (root, size) directly lets the
+        # fused fit kernel SKIP the twin lanes' fit chains entirely
+        # (~half the per-frame lane chains on marker scenes) — their
+        # quads come back zero, and this rule keeps the XLA and kernel
+        # paths agreeing on `valid` without ever comparing those quads.
+        twin = (
+            (fit2["roots"][:, None] == fit["roots"][None, :])
+            & (fit2["sizes"][:, None] == fit["sizes"][None, :])
+            & fit["valid"][None, :]
+        )
+        fit2["valid"] = fit2["valid"] & ~jnp.any(dup | twin, axis=1)
 
         # Merge to K lanes by SIZE priority across both passes, outer
         # winning exact ties.  Strict outer-pass priority starved dark

@@ -390,6 +390,48 @@ def test_fused_fit_matches_fit_quads(rng):
                     )
 
 
+def test_fused_fit_dup_skip_matches_merged_candidates(rng):
+    """With dup_skip=True (the detector's production setting) the fused
+    kernel skips inner lanes whose (root, size) match a valid outer
+    lane; merge_fits' exact-twin rule kills those lanes in both paths,
+    so the MERGED candidate dicts must agree on everything downstream
+    reads: valid, sizes, is_inner, overflow, and quads/centroids on
+    valid lanes (dead lanes carry zero quads on the kernel path by
+    design)."""
+    from aruco3_tpu.ops.fit_pallas import fused_fit_batch
+
+    p = segment.QuadParams()
+    for shape, density in [((40, 54), 0.35), ((40, 54), 0.6)]:
+        c = jnp.asarray(rng.random((3,) + shape) < density)
+        l1, l2 = jax.vmap(lambda m: segment.label_planes(m, p))(c)
+        f1, f2 = fused_fit_batch(
+            l1, l2, 6, p, p.max_candidates, p.max_inner_candidates,
+            dup_skip=True, interpret=True,
+        )
+        got = jax.vmap(
+            lambda a, b, x, y: segment.merge_fits(a, b, x, y, p, 6)
+        )(l1, l2, f1, f2)
+        ref = jax.vmap(
+            lambda a, b: segment.candidates_from_labels(a, b, p, 6)
+        )(l1, l2)
+        for key in ("valid", "sizes", "is_inner", "overflow"):
+            np.testing.assert_array_equal(
+                np.asarray(got[key]), np.asarray(ref[key]), err_msg=key
+            )
+        va = np.asarray(got["valid"])
+        qa = np.asarray(got["quads"])
+        qb = np.asarray(ref["quads"])
+        ca = np.asarray(got["centroids"])
+        cb = np.asarray(ref["centroids"])
+        np.testing.assert_array_equal(ca[va], cb[va])
+        for bi, kk in zip(*np.nonzero(va)):
+            if np.array_equal(qa[bi, kk], qb[bi, kk]):
+                continue
+            da = ((qa[bi, kk, 0] - ca[bi, kk]) ** 2).sum()
+            db = ((qb[bi, kk, 0] - ca[bi, kk]) ** 2).sum()
+            assert abs(da - db) < 1e-2, (bi, kk, qa[bi, kk], qb[bi, kk])
+
+
 def test_refine_pallas_odd_candidate_count(rng):
     """Odd max_candidates (public DetectorConfig knob) must work: the
     batched kernel pads each frame's window list to the DMA group width."""

@@ -170,6 +170,39 @@ def check_fit():
         )(l2)
         ok = ok and cmp_one(f1, ref, "fused1", tuple(c.shape), k)
         ok = ok and cmp_one(f2, ref2, "fused2", tuple(c.shape), k2)
+
+    # dup_skip=True (production): MERGED candidates must match the
+    # dense XLA path on everything downstream reads (dead twin lanes
+    # carry zero quads by design — compare valid lanes only).
+    c = jnp.asarray(rng.random((2, 108, 192)) < 0.3)
+    l1, l2 = jax.vmap(lambda m: segment.label_planes(m, p))(c)
+    f1, f2 = fused_fit_batch(
+        l1, l2, 6, p, p.max_candidates, p.max_inner_candidates,
+        dup_skip=True,
+    )
+    got = jax.vmap(
+        lambda a, b, x, y: segment.merge_fits(a, b, x, y, p, 6)
+    )(l1, l2, f1, f2)
+    refm = jax.vmap(
+        lambda a, b: segment.candidates_from_labels(a, b, p, 6)
+    )(l1, l2)
+    e = True
+    for key in ("valid", "sizes", "is_inner", "overflow"):
+        e = e and np.array_equal(
+            np.asarray(got[key]), np.asarray(refm[key])
+        )
+    va = np.asarray(got["valid"])
+    qa, qb = np.asarray(got["quads"]), np.asarray(refm["quads"])
+    ca = np.asarray(got["centroids"])
+    e = e and np.array_equal(ca[va], np.asarray(refm["centroids"])[va])
+    for bi, kk in zip(*np.nonzero(va)):
+        if np.array_equal(qa[bi, kk], qb[bi, kk]):
+            continue
+        da = ((qa[bi, kk, 0] - ca[bi, kk]) ** 2).sum()
+        db = ((qb[bi, kk, 0] - ca[bi, kk]) ** 2).sum()
+        e = e and abs(da - db) < 1e-2
+    print(f"fit[dup_skip merged] (2, 108, 192): ok={e}", flush=True)
+    ok = ok and e
     return ok
 
 
