@@ -92,6 +92,7 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
             fit1, fit2 = fused_fit_batch(
                 labels1, labels2, ds, params,
                 params.max_candidates, params.max_inner_candidates,
+                dup_skip=True,
             )
             cand = jax.vmap(
                 lambda lab, lab2, f1, f2: segment.merge_fits(
