@@ -42,7 +42,23 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _rank_prep(lab, hc, wc, min_px):
+def _rank_tris(hc, wc):
+    """Triangular 0/1 matmul weights for the MXU raster cumsum in
+    _rank_prep, built in-kernel from iotas (shared by both label
+    planes — compute once per kernel invocation and pass in)."""
+    tri_lane = (
+        jax.lax.broadcasted_iota(jnp.int32, (wc, wc), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (wc, wc), 1)
+    )
+    tri_row = (
+        jax.lax.broadcasted_iota(jnp.int32, (hc, hc), 1)
+        < jax.lax.broadcasted_iota(jnp.int32, (hc, hc), 0)
+    )
+    to_bf = lambda x: x.astype(jnp.float32).astype(jnp.bfloat16)
+    return to_bf(tri_lane), to_bf(tri_row)
+
+
+def _rank_prep(lab, hc, wc, min_px, tris=None):
     """Plane-dense fixed part of the rank pool (admission pre-filter +
     raster cumsum): returns the ``ranked`` plane (rank at root cells,
     -1 elsewhere — one cell per rank) and the root count."""
@@ -73,24 +89,25 @@ def _rank_prep(lab, hc, wc, min_px):
     is_root = is_root.astype(jnp.int32)
     n_roots = jnp.sum(is_root)
 
-    # Inclusive raster cumsum: lane prefix within each row plus the
-    # exclusive sum of previous rows' counts (integers — exact).
-    pref = is_root
-    sh = 1
-    while sh < wc:
-        moved = pltpu.roll(pref, sh, axis=1)
-        pref = pref + jnp.where(ci >= sh, moved, 0)
-        sh *= 2
-    rowtot = jnp.sum(is_root, axis=1, keepdims=True)  # (hc, 1)
-    rpref = rowtot
-    sh = 1
-    while sh < hc:
-        moved = jnp.concatenate(
-            [jnp.zeros((sh, 1), jnp.int32), rpref[:-sh]], axis=0
-        )
-        rpref = rpref + moved
-        sh *= 2
-    rank = pref + (rpref - rowtot) - 1
+    # Inclusive raster cumsum on the MXU: the lane prefix within each
+    # row is one matmul against an upper-triangular 0/1 matrix, the
+    # exclusive row prefix one matvec against a strict lower triangle.
+    # Exact: is_root is 0/1 (bf16-exact), per-row sums <= wc and the
+    # row-total carry <= hc*wc < 2^24 accumulate in f32 — integer-exact
+    # at any order.  Replaces ~40 serialized VPU doubling ops per plane
+    # (the fit stage is op-issue-bound, see _fused_fit_call).
+    tri_lane, tri_row = tris if tris is not None else _rank_tris(hc, wc)
+    root_bf = is_root.astype(jnp.float32).astype(jnp.bfloat16)
+    pref = jax.lax.dot_general(
+        root_bf, tri_lane, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # inclusive lane prefix (hc, wc)
+    rowtot = jnp.sum(root_bf.astype(jnp.float32), axis=1, keepdims=True)
+    rpref_ex = jax.lax.dot_general(
+        tri_row, rowtot.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # exclusive row prefix (hc, 1)
+    rank = pref + rpref_ex - 1
 
     # Rank indexed at roots only, -1 elsewhere: the loop body then
     # tests one plane equality instead of two (every cell between
@@ -464,14 +481,15 @@ def _fused_fit_call(
         p = hc * wc
         spare = rp - 1
 
+        tris = _rank_tris(hc, wc)  # shared by both passes
         lab1 = refs[0][0]
-        ranked1, n1 = _rank_prep(lab1, hc, wc, min_px)
+        ranked1, n1 = _rank_prep(lab1, hc, wc, min_px, tris)
         lane_kr1 = jax.lax.broadcasted_iota(jnp.int32, (1, krp1), 1)
         t1 = jnp.minimum(n1, kr1)
         h1 = (t1 + 1) // 2
         if two:
             lab2 = refs[1][0]
-            ranked2, n2 = _rank_prep(lab2, hc, wc, min_px)
+            ranked2, n2 = _rank_prep(lab2, hc, wc, min_px, tris)
             lane_kr2 = jax.lax.broadcasted_iota(
                 jnp.int32, (1, krp2), 1
             )
@@ -536,17 +554,32 @@ def _fused_fit_call(
             rv1, sv1 = jax.lax.fori_loop(0, h1, rank_body, (rv1, sv1))
 
         # ---- top-k selection: sequential within a pass (each round
-        # masks out its pick), interleaved across passes ----
-        def sel_one(j, sc, sr, ss, valid, rv, lane_kr, krp):
-            m = jnp.max(sc)
-            idx = jnp.min(jnp.where(sc == m, lane_kr, krp))
-            pick = lane_kr == jnp.where(valid, idx, krp + 1)
+        # masks out its pick), interleaved across passes.  The pick key
+        # packs (size, lane) into ONE i32 — key = size*1024 +
+        # (1023 - lane) — so each round is max(key) + a one-hot root
+        # fetch: two serialized reductions instead of three (max, then
+        # first-index min, then root sum).  Exactly lax.top_k's order:
+        # descending size, ties broken by LOWER lane first (the lane
+        # complement makes the smaller lane the larger key; kr <= 1024
+        # so the lane term never carries into the size bits, and
+        # size*1024 <= hc*wc*1024 fits int32 for any VMEM-sized grid).
+        # Empty ranks hold size -1 -> negative keys, never picked while
+        # a real entry remains (sel rounds stop at min(n, k) anyway).
+        def sel_key(sv, lane_kr):
+            return (
+                sv.astype(jnp.int32) * 1024 + (1023 - lane_kr)
+            )
+
+        def sel_one(j, key, sr, ss, valid, rv):
+            m = jnp.max(key)
+            pick = key == m
             root_j = jnp.sum(jnp.where(pick, rv, 0.0))
             tgt = jnp.where(valid, j, 128)
             sr = jnp.where(lane == tgt, root_j, sr)
-            ss = jnp.where(lane == tgt, m, ss)
-            sc = jnp.where(pick, -2.0, sc)
-            return sc, sr, ss
+            size_m = jnp.right_shift(m, 10).astype(jnp.float32)
+            ss = jnp.where(lane == tgt, size_m, ss)
+            key = jnp.where(pick & valid, jnp.int32(-(2**30)), key)
+            return key, sr, ss
 
         ns1 = jnp.minimum(n1, k1)
         sr1 = jnp.zeros((1, 128), jnp.float32)
@@ -557,29 +590,28 @@ def _fused_fit_call(
             ss2 = jnp.full((1, 128), -1.0, jnp.float32)
 
             def sel_body(j, carry):
-                sc1, sr1, ss1, sc2, sr2, ss2 = carry
-                sc1, sr1, ss1 = sel_one(
-                    j, sc1, sr1, ss1, j < ns1, rv1, lane_kr1, krp1
+                key1, sr1, ss1, key2, sr2, ss2 = carry
+                key1, sr1, ss1 = sel_one(
+                    j, key1, sr1, ss1, j < ns1, rv1
                 )
-                sc2, sr2, ss2 = sel_one(
-                    j, sc2, sr2, ss2, j < ns2, rv2, lane_kr2, krp2
+                key2, sr2, ss2 = sel_one(
+                    j, key2, sr2, ss2, j < ns2, rv2
                 )
-                return sc1, sr1, ss1, sc2, sr2, ss2
+                return key1, sr1, ss1, key2, sr2, ss2
 
             _, sr1, ss1, _, sr2, ss2 = jax.lax.fori_loop(
                 0, jnp.maximum(ns1, ns2), sel_body,
-                (sv1, sr1, ss1, sv2, sr2, ss2),
+                (sel_key(sv1, lane_kr1), sr1, ss1,
+                 sel_key(sv2, lane_kr2), sr2, ss2),
             )
         else:
 
             def sel_body(j, carry):
-                sc1, sr1, ss1 = carry
-                return sel_one(
-                    j, sc1, sr1, ss1, j < ns1, rv1, lane_kr1, krp1
-                )
+                key1, sr1, ss1 = carry
+                return sel_one(j, key1, sr1, ss1, j < ns1, rv1)
 
             _, sr1, ss1 = jax.lax.fori_loop(
-                0, ns1, sel_body, (sv1, sr1, ss1)
+                0, ns1, sel_body, (sel_key(sv1, lane_kr1), sr1, ss1)
             )
 
         srow = kp1 + kp2
@@ -640,56 +672,71 @@ def _fused_fit_call(
                 valid1v = (ss1 >= float(min_px)) & (
                     frac1 >= min_containment
                 )
+            # Pass 2: TWO interleaved chains per trip like pass 1
+            # (dead chains write the spare row).  With dup_skip, the
+            # merge_fits exact-twin rule (segment.py) — same
+            # (root, size) as a VALID outer lane means the same
+            # hole-filled cell set — still skips the whole trip when
+            # BOTH chains are twins; a mixed trip runs both and
+            # dead-writes the twin one, keeping the cross-chain
+            # scheduling a pl.when per chain would forbid.  Chains
+            # pair ADJACENT lanes (2kk, 2kk+1), not split halves:
+            # lanes arrive size-sorted, and the twins (marker rings,
+            # the biggest inner components) cluster at the front, so
+            # adjacent pairs make twin trips whole-trip skips instead
+            # of half-wasted mixed trips.  Skipped lanes keep their
+            # zeroed row: frac 0 (invalid), and downstream never
+            # reads dead lanes' quads.
+            hb = (ns2 + 1) // 2
+
+            def fetch2(kk_idx, valid):
+                hit = lane == jnp.where(valid, kk_idx, 128)
+                rootf = jnp.sum(jnp.where(hit, sr2, 0.0))
+                sizef = jnp.sum(jnp.where(hit, ss2, 0.0))
+                return rootf, sizef
+
+            def chain2(rootf, sizef, kk_idx, ok):
+                vals = _lane_chain(
+                    lab2,
+                    rootf.astype(jnp.int32),
+                    jnp.maximum(sizef, 1.0),
+                    geom,
+                    hc,
+                    wc,
+                    ds,
+                    containment_slack,
+                )
+                row = jnp.zeros((1, 128), jnp.float32)
+                for fi, v in enumerate(vals):
+                    row = jnp.where(lane == fi, v, row)
+                out_ref[0, jnp.where(ok, kp1 + kk_idx, spare)] = row[0]
 
             def lane2_body(kk, carry):
-                hit = lane == kk
-                root2f = jnp.sum(jnp.where(hit, sr2, 0.0))
-                size2f = jnp.sum(jnp.where(hit, ss2, 0.0))
+                la = 2 * kk
+                lb = 2 * kk + 1
+                va = la < ns2
+                vb = lb < ns2
+                ra, sa = fetch2(la, va)
+                rb, sb = fetch2(lb, vb)
                 if dup_skip:
-                    # merge_fits' exact-twin rule (segment.py): same
-                    # (root, size) as a VALID outer lane means the same
-                    # hole-filled cell set — the merge kills this lane,
-                    # so its fit chain never runs; the zeroed row keeps
-                    # frac 0 (invalid) and downstream never reads dead
-                    # lanes' quads.
-                    twin = jnp.any(
-                        (sr1 == root2f) & (ss1 == size2f) & valid1v
-                    )
+                    # Garbage fetches (invalid half-lane) yield
+                    # (0, 0), never twin-matching: valid outer lanes
+                    # have size >= min_px > 0.
+                    ta = jnp.any((sr1 == ra) & (ss1 == sa) & valid1v)
+                    tb = jnp.any((sr1 == rb) & (ss1 == sb) & valid1v)
+                    run_a = va & jnp.logical_not(ta)
+                    run_b = vb & jnp.logical_not(tb)
 
-                    @pl.when(jnp.logical_not(twin))
+                    @pl.when(run_a | run_b)
                     def _():
-                        vals = _lane_chain(
-                            lab2,
-                            root2f.astype(jnp.int32),
-                            jnp.maximum(size2f, 1.0),
-                            geom,
-                            hc,
-                            wc,
-                            ds,
-                            containment_slack,
-                        )
-                        row = jnp.zeros((1, 128), jnp.float32)
-                        for fi, v in enumerate(vals):
-                            row = jnp.where(lane == fi, v, row)
-                        out_ref[0, kp1 + kk] = row[0]
+                        chain2(ra, sa, la, run_a)
+                        chain2(rb, sb, lb, run_b)
                 else:
-                    vals = _lane_chain(
-                        lab2,
-                        root2f.astype(jnp.int32),
-                        jnp.maximum(size2f, 1.0),
-                        geom,
-                        hc,
-                        wc,
-                        ds,
-                        containment_slack,
-                    )
-                    row = jnp.zeros((1, 128), jnp.float32)
-                    for fi, v in enumerate(vals):
-                        row = jnp.where(lane == fi, v, row)
-                    out_ref[0, kp1 + kk] = row[0]
+                    chain2(ra, sa, la, va)
+                    chain2(rb, sb, lb, vb)
                 return carry
 
-            jax.lax.fori_loop(0, ns2, lane2_body, 0)
+            jax.lax.fori_loop(0, hb, lane2_body, 0)
 
     plane_spec = pl.BlockSpec(
         (1, hc, wc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
