@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..segment import ADMIT_OFFSETS as _ADMIT_OFFSETS
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -67,25 +69,25 @@ def _rank_prep(lab, hc, wc, min_px, tris=None):
     lin = ri * wc + ci
 
     is_root = lab == lin
-    # Pool admission pre-filter (mirrors fit_quads bit-for-bit):
-    # exclude components below the min-size gate via the exact
-    # root-window local count; wrap-around rolls match jnp.roll.
+    # Pool admission pre-filter (mirrors fit_quads bit-for-bit): the
+    # minimal-offset size test (segment.ADMIT_OFFSETS — see the
+    # equivalence proof there); wrap-around rolls match jnp.roll.
     t = min(int(min_px), 3)
     if t > 1:
-        rr2 = t - 1
         cnt = jnp.zeros((hc, wc), jnp.int32)
-        for dy in range(0, rr2 + 1):
+        by_dy: dict[int, list[int]] = {}
+        for dy, dx in _ADMIT_OFFSETS[t]:
+            by_dy.setdefault(dy, []).append(dx)
+        for dy, dxs in by_dy.items():
             rolled_r = (
                 lab
                 if dy == 0
                 else jnp.concatenate([lab[dy:], lab[:dy]], axis=0)
             )
-            for dx in range(-rr2, rr2 + 1):
-                if dy == 0 and dx < 0:
-                    continue
+            for dx in dxs:
                 sh = pltpu.roll(rolled_r, (-dx) % wc, axis=1)
                 cnt = cnt + (sh == lab).astype(jnp.int32)
-        is_root = is_root & (cnt >= t)
+        is_root = is_root & (cnt >= t - 1)
     is_root = is_root.astype(jnp.int32)
     n_roots = jnp.sum(is_root)
 
@@ -651,14 +653,19 @@ def _fused_fit_call(
             tgt = jnp.where(valid, kk_idx, 128)
             return jnp.where(lane == tgt, vals[_F_CONTAIN], frac_v)
 
-        # Pass 1 (two interleaved chains), carrying the frac vector so
-        # the twin pre-kill below can form fit1's valid lanes in-kernel.
-        ha = (ns1 + 1) // 2
+        # Pass 1 (three interleaved chains), carrying the frac vector
+        # so the twin pre-kill below can form fit1's valid lanes
+        # in-kernel.
+        ha = (ns1 + 2) // 3
 
         def lane1_body(kk, frac_v):
-            frac_v = fit_one(lab1, sr1, ss1, kk, kk < ha, 0, frac_v)
-            return fit_one(
+            frac_v = fit_one(lab1, sr1, ss1, kk, kk < ns1, 0, frac_v)
+            frac_v = fit_one(
                 lab1, sr1, ss1, kk + ha, kk + ha < ns1, 0, frac_v
+            )
+            return fit_one(
+                lab1, sr1, ss1, kk + 2 * ha, kk + 2 * ha < ns1,
+                0, frac_v,
             )
 
         frac1 = jax.lax.fori_loop(

@@ -217,6 +217,37 @@ def _unpack_row_order(nwords: int = 8):
     return [(w, b) for (w, b, _) in rows]
 
 
+def _unpack_bits_pairs(wp):
+    """(NW<=8, L) int32 words -> (128, L) int32 2-BIT fields (the
+    halving unpack stopped one level early): row r holds bits
+    {b, b+1} of its word as a value in [0, 3] — see _unpack_pair_order
+    for (word, low bit) per row.  Consumers that only need bit COUNTS
+    over bit ranges aligned to even offsets (the ds-row pool sums when
+    ds and the bit offset are even) get them from
+    ``(p & 1) + (p >> 1)`` — skipping the unpack's biggest level and
+    halving the selector matmul depth."""
+    p = wp
+    a = p & 0xFFFF
+    b = (p >> 16) & 0xFFFF  # mask: >> is arithmetic on int32
+    p = jnp.concatenate([a, b], axis=0)
+    for half, mask in ((8, 0xFF), (4, 0xF), (2, 0x3)):
+        a = p & mask
+        b = p >> half
+        p = jnp.concatenate([a, b], axis=0)
+    return p
+
+
+def _unpack_pair_order(nwords: int = 8):
+    """(word, low bit) carried by each of _unpack_bits_pairs' 16*nwords
+    output rows: row r holds bits {b, b+1} of word w."""
+    rows = [(i, 0, 32) for i in range(nwords)]
+    for _ in range(4):
+        rows = [(w, b, n // 2) for (w, b, n) in rows] + [
+            (w, b + n // 2, n // 2) for (w, b, n) in rows
+        ]
+    return [(w, b) for (w, b, _) in rows]
+
+
 def _sliding_sum_rows(x, width: int, n_out: int, base: int):
     """Row-direction running sums via static shrinking slices (sublane
     rolls lower pathologically in Mosaic for int32).
@@ -377,6 +408,9 @@ def fused_threshold_open_pool(
     n_strips = hp // th
     n_cols = wp // tw
     grid = (b, n_strips, n_cols)
+    # Even ds (+ the always-even near-dilation offset): the ds-row pool
+    # can sum 2-bit-field popcounts instead of fully unpacked bits.
+    pair_pool = emit_packed and ds % 2 == 0 and ext % 2 == 0
     # Column DMA for tile c reads src cols [c*tw, c*tw + twb): the image
     # sits at column offset halo_c, so the buffer carries halo_c context
     # columns each side of the tile.
@@ -779,17 +813,31 @@ def fused_threshold_open_pool(
             if _stop_after == "morph":
                 _stub(opw + nearw)
                 return
-            s_open = (
-                _unpack_bits_halving(opw)
-                .astype(jnp.float32)
-                .astype(jnp.bfloat16)
-            )
+            if pair_pool:
+                # Even ds + even bit offset: the pool's bit ranges are
+                # 2-aligned, so stop the unpack at 2-bit fields (its
+                # biggest level skipped), pool their popcounts, and
+                # slice to the output lanes first (128-aligned, so the
+                # shrink is free).  Counts are integers <= ds: bf16
+                # inputs {0,1,2} and f32 accumulation stay exact.
+                pr = _unpack_bits_pairs(opw[:, lane0 : lane0 + tw])
+                s_open = (
+                    ((pr & 1) + (pr >> 1))
+                    .astype(jnp.float32)
+                    .astype(jnp.bfloat16)
+                )
+            else:
+                s_open = (
+                    _unpack_bits_halving(opw)
+                    .astype(jnp.float32)
+                    .astype(jnp.bfloat16)
+                )
             rowpool = jax.lax.dot_general(
                 vsel_ref[...],
                 s_open,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (th // ds, twb) exact black counts per ds-row group
+            )  # (th // ds, tw|twb) exact black counts per ds-row group
             gm = gmid[r2:-r2] if r2 else gmid
             if emit_split:
                 # SPLIT outputs: the u8 image-masked grey plane and the
@@ -884,7 +932,7 @@ def fused_threshold_open_pool(
                 .reshape(th // ds, ds, tw)
                 .sum(axis=1)
             )
-        else:
+        elif not pair_pool:  # pair_pool already pooled output lanes only
             rowpool = rowpool[:, lane0 : lane0 + tw]
         rowpool_ref[0] = rowpool.astype(jnp.int32).astype(jnp.uint8)
 
@@ -996,10 +1044,22 @@ def fused_threshold_open_pool(
         usel = np.zeros((th, 256), np.float32)
         for t in range(th):
             usel[t, bitpos[(t // 32, t % 32)]] = 1.0
-        vsel = np.zeros((th // ds, 256), np.float32)
-        for k in range(th // ds):
-            for t in range(k * ds + ext, (k + 1) * ds + ext):
-                vsel[k, bitpos[(t // 32, t % 32)]] = 1.0
+        if pair_pool:
+            # 2-bit-field selector: pool row k sums the popcounts of
+            # the pairs {t, t+1} covering [k*ds+ext, (k+1)*ds+ext) —
+            # exactly the full-unpack sum when ds and ext are even.
+            pairpos = {
+                wb: k for k, wb in enumerate(_unpack_pair_order())
+            }
+            vsel = np.zeros((th // ds, 128), np.float32)
+            for k in range(th // ds):
+                for t in range(k * ds + ext, (k + 1) * ds + ext, 2):
+                    vsel[k, pairpos[(t // 32, t % 32)]] = 1.0
+        else:
+            vsel = np.zeros((th // ds, 256), np.float32)
+            for k in range(th // ds):
+                for t in range(k * ds + ext, (k + 1) * ds + ext):
+                    vsel[k, bitpos[(t // 32, t % 32)]] = 1.0
         in_specs.append(
             pl.BlockSpec(
                 (16, nrows_h),
@@ -1019,7 +1079,7 @@ def fused_threshold_open_pool(
             operands.append(jnp.asarray(usel, jnp.bfloat16))
         in_specs.append(
             pl.BlockSpec(
-                (th // ds, 256),
+                vsel.shape,
                 lambda bi, i, c: (0, 0),
                 memory_space=pltpu.VMEM,
             )

@@ -158,7 +158,7 @@ def refine_eval(
         inv_area = 1.0 / float(wn * wn)
         inner_bf = inner_ref[0].astype(jnp.bfloat16)  # (hcp, wcp)
 
-        def window(j, with_inner):
+        def window(j, is_inner_w):
             p = params_ref[0, j]
             dirx, diry = p[0], p[1]
             cx, cy = p[2], p[3]
@@ -204,36 +204,37 @@ def refine_eval(
                 near8 = (words >> (rows_i & 31)) & 1
             else:
                 near8 = (win >> 8) & 1  # int 0/1: no i1 select in Mosaic
-            if with_inner:
-                # Upsample the coarse footprint over this window with
-                # two one-hot contractions (row-, col-cells).
-                rr = byv + jax.lax.broadcasted_iota(
-                    jnp.int32, (sh, 1), 0
-                )
-                cellr = rr // ds
-                rsel = (
-                    cellr
-                    == jax.lax.broadcasted_iota(jnp.int32, (1, hcp), 1)
-                ).astype(jnp.bfloat16)  # (sh, hcp)
-                cc = bxw + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, swc), 1
-                )
-                cellc = cc // ds  # (1, swc)
-                csel = (
-                    jax.lax.broadcasted_iota(jnp.int32, (wcp, swc), 0)
-                    == cellc
-                ).astype(jnp.bfloat16)  # (wcp, swc)
-                a = jnp.dot(
-                    rsel, inner_bf, preferred_element_type=jnp.float32
-                )  # (sh, wcp)
-                up = jnp.dot(
-                    a.astype(jnp.bfloat16), csel,
-                    preferred_element_type=jnp.float32,
-                )  # (sh, swc)
-                up9 = (up > 0.5).astype(jnp.int32)
-                near = (near8 & up9) == 1
-            else:
-                near = near8 == 1
+            # Upsample the coarse footprint over this window with two
+            # one-hot contractions (row-, col-cells), gated by the
+            # window's RUNTIME kind (one traced body for outer+inner
+            # lets the 2-wide loop below interleave freely; the two
+            # small matmuls ride the otherwise-idle MXU for outer
+            # windows and their result is masked off).
+            rr = byv + jax.lax.broadcasted_iota(
+                jnp.int32, (sh, 1), 0
+            )
+            cellr = rr // ds
+            rsel = (
+                cellr
+                == jax.lax.broadcasted_iota(jnp.int32, (1, hcp), 1)
+            ).astype(jnp.bfloat16)  # (sh, hcp)
+            cc = bxw + jax.lax.broadcasted_iota(
+                jnp.int32, (1, swc), 1
+            )
+            cellc = cc // ds  # (1, swc)
+            csel = (
+                jax.lax.broadcasted_iota(jnp.int32, (wcp, swc), 0)
+                == cellc
+            ).astype(jnp.bfloat16)  # (wcp, swc)
+            a = jnp.dot(
+                rsel, inner_bf, preferred_element_type=jnp.float32
+            )  # (sh, wcp)
+            up = jnp.dot(
+                a.astype(jnp.bfloat16), csel,
+                preferred_element_type=jnp.float32,
+            )  # (sh, swc)
+            up9 = jnp.where(is_inner_w, (up > 0.5).astype(jnp.int32), 1)
+            near = (near8 & up9) == 1
             g8 = (win & 255).astype(jnp.float32)
             mean = jnp.sum(jnp.where(sel, g8, 0.0)) * inv_area
             ink = (g8 < mean) & near
@@ -263,27 +264,26 @@ def refine_eval(
                 ),
             )[0]
 
+        nv = nv_ref[i]
+
         def body(t, carry):
             # The loop walks the COMPACT list of valid windows (the
-            # bodies are compiled once — everything is data-indexed);
-            # outer windows skip the upsample matmuls.  Rows of
-            # skipped (invalid) windows are never written — their
-            # outputs are garbage, masked downstream exactly like the
-            # dense-loop version masked them.
-            j = wlist_ref[i, t]
-            k = kind_ref[i, j]
-
-            @pl.when(k == 1)
-            def _():
-                out_ref[0, j] = window(j, with_inner=False)
-
-            @pl.when(k == 2)
-            def _():
-                out_ref[0, j] = window(j, with_inner=True)
-
+            # bodies are compiled once — everything is data-indexed),
+            # TWO independent window chains per trip so their
+            # serialized reductions overlap; the odd tail chain
+            # dead-writes the spare output row.  Rows of skipped
+            # (invalid) windows are never written — their outputs are
+            # garbage, masked downstream exactly like the dense-loop
+            # version masked them.
+            ja = wlist_ref[i, 2 * t]
+            jb = wlist_ref[i, 2 * t + 1]
+            rowa = window(ja, kind_ref[i, ja] == 2)
+            rowb = window(jb, kind_ref[i, jb] == 2)
+            out_ref[0, ja] = rowa
+            out_ref[0, jnp.where(2 * t + 1 < nv, jb, k4p)] = rowb
             return carry
 
-        jax.lax.fori_loop(0, nv_ref[i], body, 0)
+        jax.lax.fori_loop(0, (nv + 1) // 2, body, 0)
 
     # One frame per grid step: Pallas streams the frame's whole packed
     # plane into VMEM (double-buffered across steps), so every window is
@@ -329,12 +329,14 @@ def refine_eval(
             grid=(b,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, k4p, 128),
+                # +8 rows: row k4p is the 2-wide loop's dead-write
+                # spare (tile-aligned block growth).
+                (1, k4p + 8, 128),
                 lambda i, *_refs: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((b, k4p, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, k4p + 8, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=limit),
         interpret=interpret,
     )(*operands)

@@ -87,6 +87,23 @@ class QuadParams:
 # (set < 0) without editing the merge.
 INNER_DUP_CHEBYSHEV_DS = 2.0
 
+# Minimal offset sets for the pool-admission size test (fit_quads and
+# ops.fit_pallas._rank_prep share them): counting same-label cells at
+# these offsets from a component ROOT (its raster-minimum cell) gives
+# >= t-1 hits iff the 4-connected component has >= t cells.  Proof for
+# t=3: the root's first in-component neighbour n1 is (0,1) or (1,0)
+# (left/up cells have smaller linear indices).  A third cell adjacent
+# to {root, n1} exists (BFS), and its candidates are (0,2),(1,0),(1,1)
+# when n1=(0,1), or (1,-1),(1,1),(2,0),(0,1) when n1=(1,0) — all in the
+# set.  Conversely same-label cells are component members, so an
+# undersized component can never reach the count (wrapped roll hits
+# are still same-component cells).  This replaces the previous
+# 13-offset Chebyshev window — the admitted set is identical.
+ADMIT_OFFSETS = {
+    2: ((0, 1), (1, 0)),
+    3: ((0, 1), (0, 2), (1, -1), (1, 0), (1, 1), (2, 0)),
+}
+
 
 def choose_coarse_factor(h: int, w: int, target: int = 192) -> int:
     """Pick a pooling factor so the coarse grid's long side is ~target."""
@@ -358,23 +375,17 @@ def fit_quads(
     # raster-ranked pool before the markers are reached (the reference
     # candidate list is unbounded, aruco.rs:124-166; measured 8/50
     # dark+nested misses at 1080p from exactly this).  Exact local
-    # test: a 4-connected component has >= t cells iff >= t cells of
-    # its label lie within Chebyshev distance t-1 of its ROOT; the root
-    # is the raster-minimum cell, so its window shrinks to rows
-    # [0, t-1] with the same-row-left cells excluded.  Wrap-around roll
-    # hits can only be the same component (labels are root indices), so
-    # they never admit an undersized one.
+    # test over the MINIMAL offset set (ADMIT_OFFSETS): cnt >= t there
+    # iff the component has >= t cells.  Wrap-around roll hits can only
+    # be the same component (labels are root indices), so they never
+    # admit an undersized one.
     t = min(int(params.min_component_px), 3)
     if t > 1:
-        rr = t - 1
         cnt = jnp.zeros((hc, wc), jnp.int32)
-        for dy in range(0, rr + 1):
-            for dx in range(-rr, rr + 1):
-                if dy == 0 and dx < 0:
-                    continue
-                sh = jnp.roll(jnp.roll(labels, -dy, 0), -dx, 1)
-                cnt = cnt + (sh == labels).astype(jnp.int32)
-        is_root = is_root & (cnt.reshape(-1) >= t)
+        for dy, dx in ADMIT_OFFSETS[t]:
+            sh = jnp.roll(jnp.roll(labels, -dy, 0), -dx, 1)
+            cnt = cnt + (sh == labels).astype(jnp.int32)
+        is_root = is_root & (cnt.reshape(-1) >= t - 1)
     rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1
     lane_r = jnp.where(is_root & (rank < kr), rank, kr)
     onehot_r = lane_r[None, :] == jnp.arange(kr, dtype=jnp.int32)[:, None]
