@@ -492,11 +492,41 @@ def coarse_labels(
                 )
                 return l2, rem, kn
 
+            # DEPTH 0 reuses the pass-1 labels (segment.label_planes
+            # mirrors this): a level-0 component's hole-filled plane is
+            # its pass-1 filled blob, and segmented label propagation
+            # depends only on the component's own cell set, so depth-0
+            # labels equal l1 restricted to the level cells (same
+            # roots) — skipping depth 0's enclosure flood + whole
+            # label_ccl.  Gated per blob: a component inside a filled
+            # hole of a BORDER-CONNECTED blob merged with it in pass 1
+            # (root on the bg band, outside the level cells), so reuse
+            # applies only to level cells filled-blob-connected
+            # (4-conn) to a properly-rooted root; the rest stay in
+            # ``remaining`` and the next peel depth labels them
+            # exactly (see segment.label_planes).
+            level0b = flood_b(
+                remaining, remaining & dil8_b(knownb),
+                inner_flood_rounds, diag=False,
+            )
+            level0i = unpack_bits(level0b)
+            idx0 = riota * cp + cm
+            roots_ok = (level0i == 1) & (l1 == idx0)
+            okb = level0b & flood_b(
+                filled1b, pack_bits(roots_ok.astype(jnp.int32)),
+                fill_rounds, diag=False,
+            )
+            l2 = jnp.where(unpack_bits(okb) == 1, l1, l2)
+            remaining = remaining & ~okb
+            knownb = flood_b(
+                whiteb,
+                knownb | (whiteb & dil8_b(level0b)),
+                inner_flood_rounds,
+            )
             carry = (l2, remaining, knownb)
-            for depth in range(inner_depths):
+            for depth in range(1, inner_depths):
                 if depth <= 1:
-                    # Depth 0 is nonempty in any scene with candidates,
-                    # and depth 1 is nonempty whenever any marker is
+                    # Depth 1 is nonempty whenever any marker is
                     # present (a marker's interior code bits are black
                     # components enclosed by white that only becomes
                     # known-outside after the depth-0 peel) — a runtime

@@ -770,11 +770,52 @@ def label_planes(coarse: jnp.ndarray, params: QuadParams):
             )
             return labels2, remaining, known
 
+        # DEPTH 0 normally needs no enclosure fill + CCL of its own: a
+        # level-0 component's hole-filled plane is its pass-1 filled
+        # blob, and segmented label propagation depends only on the
+        # component's own cell set (mask runs never span two
+        # components), so depth-0 labels equal the pass-1 labels
+        # restricted to the level cells — including the root convention
+        # (the filled blob's raster-min cell).  The ONE exception: a
+        # component inside a filled hole of a *border-connected* blob
+        # (a closed black band touching the border, thin enough to
+        # survive the opening) merges with that blob in pass 1, so its
+        # pass-1 root lies on the bg band — outside the level cells —
+        # and the component would never rank as a root.  Gate the reuse
+        # per blob: a level cell may reuse its pass-1 label only if it
+        # is filled-blob-connected (4-conn flood, same connectivity as
+        # the pass-1 CCL) to a properly-rooted root (a level-0 cell
+        # that is its own pass-1 root); unreached level cells stay in
+        # ``remaining`` and the next peel depth labels them exactly
+        # (they are already adjacent to known white, so depth 1's
+        # enclosure fill — which floods THROUGH bg cells — recovers
+        # their own root).  Under-convergence of the ok-flood can only
+        # defer, never mislabel.  Pocket-merged level-0 twins (two
+        # components sealing a white pocket) reuse one shared root,
+        # exactly what the previous per-depth enclosure fill produced.
+        level0 = flood(
+            m2, m2 & _dilate3(known), params.inner_flood_rounds,
+            diag=False,
+        )
+        hcwc_idx = jnp.arange(labels.size, dtype=jnp.int32).reshape(
+            labels.shape
+        )
+        roots_ok = level0 & (labels == hcwc_idx)
+        ok = level0 & flood(
+            filled1, roots_ok, params.fill_rounds, diag=False
+        )
+        labels2 = jnp.where(ok, labels, sent)
+        remaining = m2 & ~ok
+        known = flood(
+            white,
+            known | (_dilate3(level0) & white),
+            params.inner_flood_rounds,
+        )
         labels2, _, _ = jax.lax.fori_loop(
-            0,
+            1,
             params.inner_depths,
             peel,
-            (jnp.full_like(labels, hc * wc), m2, known),
+            (labels2, remaining, known),
         )
     else:
         labels2 = jnp.full_like(labels, labels.size)

@@ -264,6 +264,19 @@ def test_coarse_labels_matches_xla(rng):
     m[0, 36:64, 46:94] = True    # marker ring
     m[0, 44:56, 54:86] = False   # interior
     cases.append(m)
+    # Border-connected closed band enclosing a component: pass 1 merges
+    # them (root on the band), so depth 0's pass-1 label reuse must
+    # defer the enclosed component to the next peel depth — the rescue
+    # gate in both implementations.
+    m = np.zeros((1, 108, 192), bool)
+    m[0, 20, 30:110] = True
+    m[0, 80, 30:110] = True
+    m[0, 20:81, 30] = True
+    m[0, 20:81, 109] = True
+    m[0, 0:20, 60] = True        # strut to the border
+    m[0, 40:60, 55:80] = True    # enclosed block
+    m[0, 46:54, 61:74] = False   # with a hole (ring-like)
+    cases.append(m)
 
     for c in cases:
         c = jnp.asarray(c)

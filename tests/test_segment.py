@@ -141,3 +141,29 @@ def test_open3_denoises():
     assert cleaned.mean() < 0.02  # specks gone
     cleaned_band = np.asarray(segment.open3(jnp.asarray(band)))
     assert cleaned_band[33, 30:40].all()  # band interior intact
+
+
+def test_inner_pass_component_enclosed_by_border_band():
+    """A component inside the filled hole of a BORDER-CONNECTED closed
+    band: pass 1 merges it with the band (the blob root lies on the
+    band), so depth 0's pass-1 label reuse must not swallow it — the
+    rescue gate defers it to the next peel depth, where it gets its own
+    root (the reference follows its hole border, aruco.rs:64)."""
+    h = w = 48
+    m = np.zeros((h, w), bool)
+    m[8, 8:40] = True
+    m[39, 8:40] = True
+    m[8:40, 8] = True
+    m[8:40, 39] = True
+    m[0:8, 20] = True        # strut: band is border-connected
+    m[20:26, 20:26] = True   # enclosed component
+    params = segment.QuadParams(max_candidates=8, max_inner_candidates=8)
+    labels, labels2 = segment.label_planes(jnp.asarray(m), params)
+    labels2 = np.asarray(labels2)
+    inner = np.zeros((h, w), bool)
+    inner[20:26, 20:26] = True
+    lin = np.arange(h * w).reshape(h, w)
+    vals = labels2[inner]
+    assert (vals == vals[0]).all() and vals[0] != h * w
+    # Root convention: the component's label is one of its OWN cells.
+    assert ((labels2 == lin) & inner).any()
