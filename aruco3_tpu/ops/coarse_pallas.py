@@ -509,12 +509,13 @@ def coarse_labels(
                 remaining, remaining & dil8_b(knownb),
                 inner_flood_rounds, diag=False,
             )
-            level0i = unpack_bits(level0b)
-            idx0 = riota * cp + cm
-            roots_ok = (level0i == 1) & (l1 == idx0)
+            # Bit-domain ok-flood: the seed (level-0 pass-1 roots) ANDs
+            # in packed form, and ccl_rounds suffices — flooding a
+            # filled blob from its root converges like the CCL on the
+            # same plane, and under-convergence only defers (exact).
+            rootsb = pack_bits((l1 == riota * cp + cm).astype(jnp.int32))
             okb = level0b & flood_b(
-                filled1b, pack_bits(roots_ok.astype(jnp.int32)),
-                fill_rounds, diag=False,
+                filled1b, level0b & rootsb, ccl_rounds, diag=False,
             )
             l2 = jnp.where(unpack_bits(okb) == 1, l1, l2)
             remaining = remaining & ~okb

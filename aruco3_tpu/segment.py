@@ -800,9 +800,12 @@ def label_planes(coarse: jnp.ndarray, params: QuadParams):
         hcwc_idx = jnp.arange(labels.size, dtype=jnp.int32).reshape(
             labels.shape
         )
+        # ccl_rounds suffices: flooding a filled blob from its root
+        # converges like the CCL on the same plane, and
+        # under-convergence only defers (exact).
         roots_ok = level0 & (labels == hcwc_idx)
         ok = level0 & flood(
-            filled1, roots_ok, params.fill_rounds, diag=False
+            filled1, roots_ok, params.ccl_rounds, diag=False
         )
         labels2 = jnp.where(ok, labels, sent)
         remaining = m2 & ~ok
