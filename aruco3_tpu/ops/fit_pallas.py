@@ -557,31 +557,64 @@ def _fused_fit_call(
 
         # ---- top-k selection: sequential within a pass (each round
         # masks out its pick), interleaved across passes.  The pick key
-        # packs (size, lane) into ONE i32 — key = size*1024 +
-        # (1023 - lane) — so each round is max(key) + a one-hot root
-        # fetch: two serialized reductions instead of three (max, then
-        # first-index min, then root sum).  Exactly lax.top_k's order:
-        # descending size, ties broken by LOWER lane first (the lane
-        # complement makes the smaller lane the larger key; kr <= 1024
-        # so the lane term never carries into the size bits, and
-        # size*1024 <= hc*wc*1024 fits int32 for any VMEM-sized grid).
-        # Empty ranks hold size -1 -> negative keys, never picked while
-        # a real entry remains (sel rounds stop at min(n, k) anyway).
-        def sel_key(sv, lane_kr):
-            return (
-                sv.astype(jnp.int32) * 1024 + (1023 - lane_kr)
-            )
+        # packs the whole (size, tie-break, ROOT) state into ONE i32 so
+        # each round is a single max reduction (the stage is
+        # latency-bound on serialized reductions).  Rank order IS
+        # raster order — roots are the components' minimum linear
+        # indices extracted in raster-rank order — so lax.top_k's
+        # (size desc, lane asc) ordering is EXACTLY (size desc, root
+        # asc): key = size*P2 + (P2-1 - root) picks the identical
+        # sequence AND carries the root in its low bits (root = P2-1 -
+        # (m & (P2-1)), size = m >> log2(P2)), killing the one-hot
+        # root-fetch reduction.  Needs (p+1)*P2 < 2^31 (true for every
+        # production coarse grid; p = hc*wc, P2 = next pow2 >= p);
+        # bigger grids fall back to the lane-packed key + root-fetch
+        # form.  Empty ranks hold size -1 -> negative keys, never
+        # picked while a real entry remains (sel rounds stop at
+        # min(n, k) anyway); keys of real entries are unique (roots
+        # are), so each kill masks exactly its pick.
+        p2 = 1 << max(p - 1, 1).bit_length()
+        root_key = (p + 1) * p2 < 2**31
+        if root_key:
+            p2log = p2.bit_length() - 1
 
-        def sel_one(j, key, sr, ss, valid, rv):
-            m = jnp.max(key)
-            pick = key == m
-            root_j = jnp.sum(jnp.where(pick, rv, 0.0))
-            tgt = jnp.where(valid, j, 128)
-            sr = jnp.where(lane == tgt, root_j, sr)
-            size_m = jnp.right_shift(m, 10).astype(jnp.float32)
-            ss = jnp.where(lane == tgt, size_m, ss)
-            key = jnp.where(pick & valid, jnp.int32(-(2**30)), key)
-            return key, sr, ss
+            def sel_key(sv, rv, lane_kr):
+                return sv.astype(jnp.int32) * p2 + (
+                    (p2 - 1) - rv.astype(jnp.int32)
+                )
+
+            def sel_one(j, key, sr, ss, valid, rv):
+                m = jnp.max(key)
+                root_j = ((p2 - 1) - (m & (p2 - 1))).astype(
+                    jnp.float32
+                )
+                tgt = jnp.where(valid, j, 128)
+                sr = jnp.where(lane == tgt, root_j, sr)
+                size_m = jnp.right_shift(m, p2log).astype(jnp.float32)
+                ss = jnp.where(lane == tgt, size_m, ss)
+                key = jnp.where(
+                    (key == m) & valid, jnp.int32(-(2**30)), key
+                )
+                return key, sr, ss
+        else:
+
+            def sel_key(sv, rv, lane_kr):
+                return (
+                    sv.astype(jnp.int32) * 1024 + (1023 - lane_kr)
+                )
+
+            def sel_one(j, key, sr, ss, valid, rv):
+                m = jnp.max(key)
+                pick = key == m
+                root_j = jnp.sum(jnp.where(pick, rv, 0.0))
+                tgt = jnp.where(valid, j, 128)
+                sr = jnp.where(lane == tgt, root_j, sr)
+                size_m = jnp.right_shift(m, 10).astype(jnp.float32)
+                ss = jnp.where(lane == tgt, size_m, ss)
+                key = jnp.where(
+                    pick & valid, jnp.int32(-(2**30)), key
+                )
+                return key, sr, ss
 
         ns1 = jnp.minimum(n1, k1)
         sr1 = jnp.zeros((1, 128), jnp.float32)
@@ -603,8 +636,8 @@ def _fused_fit_call(
 
             _, sr1, ss1, _, sr2, ss2 = jax.lax.fori_loop(
                 0, jnp.maximum(ns1, ns2), sel_body,
-                (sel_key(sv1, lane_kr1), sr1, ss1,
-                 sel_key(sv2, lane_kr2), sr2, ss2),
+                (sel_key(sv1, rv1, lane_kr1), sr1, ss1,
+                 sel_key(sv2, rv2, lane_kr2), sr2, ss2),
             )
         else:
 
@@ -613,7 +646,8 @@ def _fused_fit_call(
                 return sel_one(j, key1, sr1, ss1, j < ns1, rv1)
 
             _, sr1, ss1 = jax.lax.fori_loop(
-                0, ns1, sel_body, (sel_key(sv1, lane_kr1), sr1, ss1)
+                0, ns1, sel_body,
+                (sel_key(sv1, rv1, lane_kr1), sr1, ss1),
             )
 
         srow = kp1 + kp2
@@ -653,9 +687,9 @@ def _fused_fit_call(
             tgt = jnp.where(valid, kk_idx, 128)
             return jnp.where(lane == tgt, vals[_F_CONTAIN], frac_v)
 
-        # Pass 1 (three interleaved chains), carrying the frac vector
-        # so the twin pre-kill below can form fit1's valid lanes
-        # in-kernel.
+        # Pass 1 (three interleaved chains — 4-wide measured a wash,
+        # see PERF.md), carrying the frac vector so the twin pre-kill
+        # below can form fit1's valid lanes in-kernel.
         ha = (ns1 + 2) // 3
 
         def lane1_body(kk, frac_v):
