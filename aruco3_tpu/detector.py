@@ -281,6 +281,11 @@ def detect_batch_arrays(
                 emit_packed=True,
                 emit_level1=True,
                 emit_split=th_split is not None,
+                # First output = the label kernel's pre-padded coarse
+                # plane, ds-pooled + thresholded in-kernel — the
+                # frontend->coarse XLA glue (row-count plane round trip
+                # + zeros/DUS pad) never exists.
+                emit_coarse=True,
                 min_rows=max(need_refine, need_warp, need_l1),
             )
             if th_split is not None:
@@ -316,7 +321,8 @@ def detect_batch_arrays(
         from .ops.coarse_pallas import coarse_fits_vmem, coarse_labels
         from .ops.refine_pallas import refine_corners_batch
 
-        if coarse_fits_vmem(coarse.shape[1], coarse.shape[2]):
+        hc, wc = -(-h // ds), -(-w // ds)
+        if coarse_fits_vmem(hc, wc):
             labels1, labels2 = coarse_labels(
                 coarse,
                 params.bg_rounds,
@@ -327,6 +333,7 @@ def detect_batch_arrays(
                 inner_flood_rounds=params.inner_flood_rounds,
                 inner_fill_rounds=params.inner_fill_rounds,
                 inner=params.max_inner_candidates > 0,
+                pre_hw=(hc, wc),
             )
         else:
             # Very large coarse grids (8K+ frames at small user-set
@@ -334,7 +341,7 @@ def detect_batch_arrays(
             # label path is identical bit-for-bit, just slower.
             labels1, labels2 = jax.vmap(
                 lambda c: segment.label_planes(c, params)
-            )(coarse)
+            )(coarse[:, :hc, :wc] != 0)
         # Fitting runs as natively-batched Pallas kernels whose per-rank
         # and per-lane plane passes skip unused work (typical frames
         # have ~10 rankable components; the XLA fit is dense over the

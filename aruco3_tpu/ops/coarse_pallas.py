@@ -107,11 +107,11 @@ def coarse_fits_vmem(hc: int, wc: int) -> bool:
     static_argnames=(
         "bg_rounds", "fill_rounds", "ccl_rounds", "inner_ccl_rounds",
         "inner_depths", "inner_flood_rounds", "inner_fill_rounds",
-        "inner", "interpret",
+        "inner", "pre_hw", "interpret",
     ),
 )
 def coarse_labels(
-    coarse: jnp.ndarray,  # (B, Hc, Wc) bool
+    coarse: jnp.ndarray,  # (B, Hc, Wc) bool, or pre-padded (see pre_hw)
     bg_rounds: int,
     fill_rounds: int,
     ccl_rounds: int,
@@ -120,14 +120,26 @@ def coarse_labels(
     inner_flood_rounds: int = 3,
     inner_fill_rounds: int = 4,
     inner: bool = True,
+    pre_hw: tuple[int, int] | None = None,
     interpret: bool = False,
 ):
     """-> (labels1, labels2) (B, Hc, Wc) int32 in Hc*Wc-cropped linear
     index space (sentinel Hc*Wc), exactly as segment.extract_candidates'
     label planes: labels1 = CCL over the hole-filled black mask, labels2 =
     depth-peeled labelling of the non-border-connected black components
-    (segment.label_planes pass-2 semantics)."""
-    b, hc, wc = coarse.shape
+    (segment.label_planes pass-2 semantics).
+
+    ``pre_hw=(hc, wc)``: ``coarse`` is already the kernel's PRE-PADDED
+    int32 0/1 plane — (B, >=rows, cp) with cell values at [:hc, :wc] and
+    zeros elsewhere, (rows, cp) = frontend_pallas.coarse_pad_shape — as
+    the fused frontend's ``emit_coarse`` output emits it.  Skips this
+    function's zeros+dynamic_update_slice pad (an HBM round trip of the
+    plane per batch)."""
+    if pre_hw is None:
+        b, hc, wc = coarse.shape
+    else:
+        hc, wc = pre_hw
+        b = coarse.shape[0]
     if not coarse_fits_vmem(hc, wc):
         raise ValueError(
             "coarse grid exceeds the VMEM kernel budget; route to "
@@ -140,6 +152,13 @@ def coarse_labels(
     # or- and min-propagations).
     cp = max(256, _round_up(wc + 1, 128))
     sent = rp * cp
+    if pre_hw is not None and (
+        coarse.shape[2] != cp or coarse.dtype != jnp.int32
+    ):
+        raise ValueError(
+            f"pre-padded coarse plane must be (B, >=rows, {cp}) int32; "
+            f"got {coarse.shape} {coarse.dtype}"
+        )
 
     # The grid is tiny relative to vector width ((108, 192) grids fill
     # two vregs of lanes), so per-op overhead dominates a one-frame-per-
@@ -156,10 +175,15 @@ def coarse_labels(
     bp = _round_up(b, f_pack)
     w_all = f_pack * cp
 
-    src = jnp.zeros((bp, rp, cp), jnp.int32)
-    src = jax.lax.dynamic_update_slice(
-        src, coarse.astype(jnp.int32), (0, 0, 0)
-    )
+    if pre_hw is not None:
+        src = coarse
+        rows_blk = min(rp, coarse.shape[1])
+    else:
+        src = jnp.zeros((bp, rp, cp), jnp.int32)
+        src = jax.lax.dynamic_update_slice(
+            src, coarse.astype(jnp.int32), (0, 0, 0)
+        )
+        rows_blk = rp
 
     def kernel(src_ref, wpack_ref, usel_ref, inimg_ref, border_ref,
                l1_ref, l2_ref):
@@ -168,7 +192,14 @@ def coarse_labels(
                 [src_ref[f] for f in range(f_pack)], axis=1
             )
         else:
-            black = src_ref[0]  # (rp, w_all) int32 0/1
+            black = src_ref[0]  # (rows_blk, w_all) int32 0/1
+        if rows_blk < rp:
+            # Pre-padded planes may carry fewer rows than rp (they are
+            # always >= hc, so the missing rows are pure padding).
+            black = jnp.concatenate(
+                [black, jnp.zeros((rp - rows_blk, w_all), jnp.int32)],
+                axis=0,
+            )
         riota = jax.lax.broadcasted_iota(jnp.int32, (rp, w_all), 0)
         ciota = jax.lax.broadcasted_iota(jnp.int32, (rp, w_all), 1)
         cm = jnp.remainder(ciota, jnp.int32(cp))  # per-frame lane index
@@ -582,6 +613,9 @@ def coarse_labels(
     spec = pl.BlockSpec(
         (f_pack, rp, cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
+    in_spec = pl.BlockSpec(
+        (f_pack, rows_blk, cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
 
     def const_spec(shape):
         return pl.BlockSpec(
@@ -607,7 +641,7 @@ def coarse_labels(
         kernel,
         grid=(bp // f_pack,),
         in_specs=[
-            spec,
+            in_spec,
             const_spec((2 * nwp, rp)),
             const_spec((rp, 32 * nwp)),
             const_spec((nwp, cp)),

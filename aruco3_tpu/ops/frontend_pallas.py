@@ -43,6 +43,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def coarse_pad_shape(hc: int, wc: int) -> tuple[int, int]:
+    """Padded (rows, lanes) of the coarse-label kernel's input plane
+    (ops.coarse_pallas): rows rounded to 8 sublanes, >=1 zero padding
+    column then rounded to 128 lanes (min 256).  Shared here so the
+    frontend's ``emit_coarse`` output matches the label kernel's
+    expected geometry without a circular import."""
+    rp = max(_round_up(hc, 8), 8)
+    cp = max(256, _round_up(wc + 1, 128))
+    return rp, cp
+
+
 def split_strip_rows(ds: int) -> int | None:
     """Strip height for the SPLIT-plane emit mode (``emit_split``).
 
@@ -276,8 +287,8 @@ def _sliding_sum_rows(x, width: int, n_out: int, base: int):
     jax.jit,
     static_argnames=(
         "window", "open_radius", "ds", "interpret", "emit_packed",
-        "emit_grey_canvas", "emit_level1", "emit_split", "min_rows",
-        "_stop_after",
+        "emit_grey_canvas", "emit_level1", "emit_split", "emit_coarse",
+        "min_rows", "_stop_after",
     ),
 )
 def fused_threshold_open_pool(
@@ -290,6 +301,7 @@ def fused_threshold_open_pool(
     emit_grey_canvas: bool = False,
     emit_level1: bool = False,
     emit_split: bool = False,
+    emit_coarse: bool = False,
     min_rows: int | None = None,
     _stop_after: str | None = None,
 ):
@@ -326,6 +338,19 @@ def fused_threshold_open_pool(
     read of the grey frame.  Row pairs ride a small 2-hot MXU matmul,
     column pairs the same 128-aligned banded-block scheme as the
     threshold sums.
+
+    ``emit_coarse`` (with emit_packed) replaces the first return value
+    (the coarse bool mask) with the PRE-PADDED COARSE PLANE the label
+    kernel (ops.coarse_pallas) consumes: (B, >=rp, cp) int32 0/1 where
+    (rp, cp) = coarse_pad_shape(hc, wc) — coarse cell values at
+    [:hc, :wc], zeros elsewhere.  On single-column-tile geometries the
+    ds-column pooling + threshold compare run IN-KERNEL (one small MXU
+    matmul against a ds-hot selector; counts <= ds^2 are bf16/f32-exact
+    integers) and the per-row-count output never exists, killing the
+    frontend->coarse XLA glue (pool-plane round trip + zeros/DUS pad).
+    Multi-column geometries fall back to the identical XLA computation
+    with the same return layout.  Recover the bool mask as
+    ``plane[:, :hc, :wc] != 0``.
 
     ``_stop_after`` (PROFILING ONLY — output values are garbage) ends
     the kernel early after the named stage ("dma", "cast", "colsum",
@@ -408,6 +433,13 @@ def fused_threshold_open_pool(
     n_strips = hp // th
     n_cols = wp // tw
     grid = (b, n_strips, n_cols)
+    if emit_coarse and not emit_packed:
+        raise ValueError("emit_coarse requires emit_packed")
+    rp_c, cp_c = coarse_pad_shape(hc, wc)
+    # In-kernel coarse pooling needs the whole frame width in one tile
+    # (cells would straddle column-tile boundaries otherwise); multi-
+    # column geometries (4K+) keep the XLA pooling, same return layout.
+    coarse_in_kernel = emit_coarse and n_cols == 1
     # Even ds (+ the always-even near-dilation offset): the ds-row pool
     # can sum 2-bit-field popcounts instead of fully unpacked bits.
     pair_pool = emit_packed and ds % 2 == 0 and ext % 2 == 0
@@ -479,6 +511,9 @@ def fused_threshold_open_pool(
             if not emit_split:  # split never unpacks the near mask
                 usel_ref, refs = refs[0], refs[1:]
             vsel_ref, refs = refs[0], refs[1:]
+        csel_ref = None
+        if coarse_in_kernel:
+            csel_ref, refs = refs[0], refs[1:]
         l1_ref = None
         if emit_level1:
             rowpair_ref, colpair_ref = refs[:2]
@@ -639,9 +674,12 @@ def fused_threshold_open_pool(
             if xi.shape[0] < th + 2:  # packed word planes are 8 rows
                 xi = jnp.broadcast_to(xi[0:1], (th + 2, xi.shape[1]))
             xi = xi[: th + 2, l0 : l0 + tw + 2]
-            rowpool_ref[0] = (
-                xi[: th // ds, :tw].astype(jnp.int32).astype(jnp.uint8)
-            )
+            if coarse_in_kernel:
+                rowpool_ref[0] = xi[: th // ds, :cp_c].astype(jnp.int32)
+            else:
+                rowpool_ref[0] = (
+                    xi[: th // ds, :tw].astype(jnp.int32).astype(jnp.uint8)
+                )
             if packed_ref is not None:
                 packed_ref[0] = xi[:th, :tw].astype(jnp.int32).astype(
                     jnp.uint8 if emit_split else jnp.int16
@@ -934,22 +972,49 @@ def fused_threshold_open_pool(
             )
         elif not pair_pool:  # pair_pool already pooled output lanes only
             rowpool = rowpool[:, lane0 : lane0 + tw]
-        rowpool_ref[0] = rowpool.astype(jnp.int32).astype(jnp.uint8)
+        if coarse_in_kernel:
+            # ds-column pooling + threshold IN-KERNEL: one MXU matmul
+            # against the ds-hot column selector (per-row counts <= ds
+            # are bf16-exact integers, sums <= ds^2 f32-exact), then
+            # the pool_black compare.  Emits the label kernel's pre-
+            # padded plane rows directly: cells at [:hc, :wc], zeros
+            # beyond (padding lanes/cells carry zero counts so the
+            # compare is False; zero-padding image rows pool to 0).
+            cpool = jax.lax.dot_general(
+                rowpool.astype(jnp.bfloat16),
+                csel_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            rowpool_ref[0] = (cpool * 2 >= max(ds, 2)).astype(jnp.int32)
+        else:
+            rowpool_ref[0] = rowpool.astype(jnp.int32).astype(jnp.uint8)
 
     tile_spec = pl.BlockSpec(
         (1, th, tw), lambda bi, i, c: (bi, i, c), memory_space=pltpu.VMEM
     )
-    pool_spec = pl.BlockSpec(
-        (1, th // ds, tw),
-        lambda bi, i, c: (bi, i, c),
-        memory_space=pltpu.VMEM,
-    )
+    if coarse_in_kernel:
+        # First output = the pre-padded coarse plane (i32 0/1): one
+        # (th//ds, cp_c) block per strip, cells at [:hc, :wc].
+        pool_spec = pl.BlockSpec(
+            (1, th // ds, cp_c),
+            lambda bi, i, c: (bi, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        pool_shape = jax.ShapeDtypeStruct((b, hp // ds, cp_c), jnp.int32)
+    else:
+        pool_spec = pl.BlockSpec(
+            (1, th // ds, tw),
+            lambda bi, i, c: (bi, i, c),
+            memory_space=pltpu.VMEM,
+        )
+        pool_shape = jax.ShapeDtypeStruct((b, hp // ds, wp), jnp.uint8)
     if emit_level1 and not emit_packed:
         raise ValueError("emit_level1 requires emit_packed")
     if emit_packed:
         out_specs = [pool_spec, tile_spec]
         out_shapes = [
-            jax.ShapeDtypeStruct((b, hp // ds, wp), jnp.uint8),
+            pool_shape,
             jax.ShapeDtypeStruct(
                 (b, hp, wp), jnp.uint8 if emit_split else jnp.int16
             ),
@@ -994,7 +1059,7 @@ def fused_threshold_open_pool(
         out_specs = [tile_spec, pool_spec]
         out_shapes = [
             jax.ShapeDtypeStruct((b, hp, wp), jnp.uint8),
-            jax.ShapeDtypeStruct((b, hp // ds, wp), jnp.uint8),
+            pool_shape,
         ]
 
     # Shared 0/1 Toeplitz band for the MXU column sliding sum: input lane
@@ -1085,6 +1150,22 @@ def fused_threshold_open_pool(
             )
         )
         operands.append(jnp.asarray(vsel, jnp.bfloat16))
+    if coarse_in_kernel:
+        # ds-hot column selector for the in-kernel coarse pooling:
+        # image column l (lane l of the sliced row-pool) belongs to
+        # coarse cell l // ds; columns past wc*ds and cells past wc
+        # stay zero (padding contributes nothing, padded cells pool 0).
+        csel = np.zeros((tw, cp_c), np.float32)
+        lcols = np.arange(min(wc * ds, tw))
+        csel[lcols, lcols // ds] = 1.0
+        in_specs.append(
+            pl.BlockSpec(
+                (tw, cp_c),
+                lambda bi, i, c: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(jnp.asarray(csel, jnp.bfloat16))
     if emit_level1:
         rowpair = np.zeros((th // 2, th), np.float32)
         rowpair[np.arange(th) // 2, np.arange(th)] = 1.0
@@ -1119,10 +1200,20 @@ def fused_threshold_open_pool(
     )(*operands)
 
     rowpool_pad = outs[0] if emit_packed else outs[1]
-    # Column pooling of the per-row counts (tiny, stays in XLA).
-    rp = rowpool_pad[:, :hc, : wc * ds].astype(jnp.int32)
-    pooled = rp.reshape(b, hc, wc, ds).sum(axis=-1)
-    coarse = pooled * 2 >= max(ds, 2)
+    if coarse_in_kernel:
+        coarse = rowpool_pad  # the pre-padded coarse plane, done in-kernel
+    else:
+        # Column pooling of the per-row counts (tiny, stays in XLA).
+        rp = rowpool_pad[:, :hc, : wc * ds].astype(jnp.int32)
+        pooled = rp.reshape(b, hc, wc, ds).sum(axis=-1)
+        coarse = pooled * 2 >= max(ds, 2)
+        if emit_coarse:
+            # Multi-column fallback: same pre-padded plane layout.
+            coarse = jax.lax.dynamic_update_slice(
+                jnp.zeros((b, rp_c, cp_c), jnp.int32),
+                coarse.astype(jnp.int32),
+                (0, 0, 0),
+            )
     if emit_packed:
         packed = outs[1]  # int16 packed plane, or the u8 grey plane (split)
         tail = outs[3:] if emit_split else outs[2:]

@@ -310,6 +310,64 @@ def test_coarse_labels_wide_grid(rng):
         np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref2))
 
 
+@pytest.mark.parametrize(
+    "shape,ds",
+    [((2, 200, 330), 10), ((1, 123, 217), 3), ((1, 270, 2400), 10)],
+)
+def test_fused_frontend_emit_coarse(shape, ds, rng):
+    """emit_coarse must return the coarse-label kernel's PRE-PADDED plane
+    ((B, >=hc rows, cp) int32 0/1: cells at [:hc, :wc], zeros elsewhere)
+    on both the in-kernel geometry (single column tile) and the
+    column-tiled 4K-class XLA fallback (the 2400-wide case)."""
+    from aruco3_tpu.ops.frontend_pallas import coarse_pad_shape
+
+    g = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    h, w = shape[1], shape[2]
+    hc, wc = -(-h // ds), -(-w // ds)
+    _rp, cp = coarse_pad_shape(hc, wc)
+    plane, _packed = fused_threshold_open_pool(
+        jnp.asarray(g), 7, 2, ds, interpret=True, emit_packed=True,
+        emit_coarse=True,
+    )
+    bref = jax.vmap(
+        lambda x: segment.open_mask(~frontend.adaptive_threshold(x, 7), 2)
+    )(jnp.asarray(g))
+    cref = np.asarray(jax.vmap(lambda x: segment.pool_black(x, ds))(bref))
+    got = np.asarray(plane)
+    assert got.dtype == np.int32 and got.shape[2] == cp
+    assert got.shape[1] >= hc
+    np.testing.assert_array_equal(got[:, :hc, :wc] != 0, cref)
+    assert (got[:, :, wc:] == 0).all()
+    assert (got[:, hc:, :] == 0).all()
+    assert ((got == 0) | (got == 1)).all()
+
+
+def test_coarse_labels_pre_hw(rng):
+    """coarse_labels(pre_hw=...) on the frontend's emit_coarse plane must
+    match the bool-mask entry point bit-exactly (this is the detector's
+    fused frontend->coarse handoff)."""
+    from aruco3_tpu.ops.coarse_pallas import coarse_labels
+
+    p = segment.QuadParams()
+    ds, h, w = 10, 200, 330
+    g = rng.integers(0, 256, size=(2, h, w), dtype=np.uint8)
+    hc, wc = -(-h // ds), -(-w // ds)
+    plane, _packed = fused_threshold_open_pool(
+        jnp.asarray(g), 7, 2, ds, interpret=True, emit_packed=True,
+        emit_coarse=True,
+    )
+    cmask = plane[:, :hc, :wc] != 0
+    ref1, ref2 = coarse_labels(
+        cmask, p.bg_rounds, p.fill_rounds, p.ccl_rounds, interpret=True
+    )
+    got1, got2 = coarse_labels(
+        plane, p.bg_rounds, p.fill_rounds, p.ccl_rounds,
+        pre_hw=(hc, wc), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got1), np.asarray(ref1))
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref2))
+
+
 def test_fit_pallas_matches_fit_quads(rng):
     """The lane-skipping fit kernels must reproduce segment.fit_quads on
     every downstream-consumed field.  Corners may differ ONLY on exact
