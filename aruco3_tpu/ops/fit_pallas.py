@@ -227,7 +227,7 @@ def _lane_chain(lab, root_k, szf, geom, hc, wc, ds, containment_slack):
         + ddx * ay - ax * ddy
     )
     sgn = jnp.where(area2 >= 0, 1.0, -1.0)
-    inside = jnp.ones((hc, wc), dtype=bool)
+    inside = None
     for efx, efy, etx, ety in (
         (ax, ay, bx, by),
         (bx, by, qcx, qcy),
@@ -240,7 +240,9 @@ def _lane_chain(lab, root_k, szf, geom, hc, wc, ds, containment_slack):
         av = sgn * ex
         bv = sgn * ey
         c0 = bv * efx - av * efy
-        inside = inside & (cyp * av - cxp * bv + c0 >= -slack * elen)
+        # Scalar RHS mirrors fit_quads (bit-for-bit path equality).
+        cmp = cyp * av - cxp * bv >= -slack * elen - c0
+        inside = cmp if inside is None else inside & cmp
     frac = jnp.sum(jnp.where(member & inside, 1.0, 0.0)) / szf
 
     return [ax, ay, bx, by, qcx, qcy, ddx, ddy, frac, cenx, ceny]

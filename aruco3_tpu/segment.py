@@ -472,12 +472,16 @@ def fit_quads(
     av = sgn[:, None] * ex  # (K, 4)
     bv = sgn[:, None] * ey
     c0 = bv * e_from[..., 0] - av * e_from[..., 1]
-    inside = jnp.ones(member.shape, dtype=bool)
+    # The per-edge constant folds into the compare's SCALAR side (one
+    # plane op per edge fewer; the fit stage is VPU-issue-bound).
+    rhs = -slack * elen - c0  # (K, 4)
+    inside = None
     for e in range(4):
-        inside = inside & (
-            py * av[:, e, None] - px * bv[:, e, None] + c0[:, e, None]
-            >= -slack * elen[:, e, None]
+        cmp = (
+            py * av[:, e, None] - px * bv[:, e, None]
+            >= rhs[:, e, None]
         )
+        inside = cmp if inside is None else inside & cmp
     frac = jnp.sum(jnp.where(member & inside, 1.0, 0.0), axis=-1) / szf
     valid = valid & (frac >= params.min_containment)
 

@@ -74,6 +74,13 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # Persist compiled executables across runs (the remote compiler costs
+    # 40-200 s per program; a cache hit costs ~nothing).  Falls back to a
+    # plain compile on any cache/serialization failure.
+    from aruco3_tpu.runtime.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from aruco3_tpu import ARDictionary, Detector, DetectorConfig
     from aruco3_tpu import pose as pose_mod
     from aruco3_tpu import segment

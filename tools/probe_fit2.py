@@ -18,6 +18,10 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
+from aruco3_tpu.runtime.cache import enable_compilation_cache
+
+enable_compilation_cache()  # persist remote-compiler output across runs
+
 from profile_stages import build_frames
 
 

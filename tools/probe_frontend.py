@@ -18,6 +18,10 @@ import time
 
 import numpy as np
 
+from aruco3_tpu.runtime.cache import enable_compilation_cache
+
+enable_compilation_cache()  # persist remote-compiler output across runs
+
 sys.path.insert(0, __import__("os").path.join(
     __import__("os").path.dirname(__file__), ".."))
 

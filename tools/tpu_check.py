@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+from aruco3_tpu.runtime.cache import enable_compilation_cache
+
+enable_compilation_cache()  # persist remote-compiler output across runs
+
 
 def check_frontend():
     import jax
