@@ -18,12 +18,12 @@ import time
 
 import numpy as np
 
-from aruco3_tpu.runtime.cache import enable_compilation_cache
-
-enable_compilation_cache()  # persist remote-compiler output across runs
-
 sys.path.insert(0, __import__("os").path.join(
     __import__("os").path.dirname(__file__), ".."))
+
+from aruco3_tpu.runtime.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()  # persist remote-compiler output across runs
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
