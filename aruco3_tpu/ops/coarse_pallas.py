@@ -84,6 +84,14 @@ def _chain_levels(rp: int, cp: int) -> int:
     return lv
 
 
+def _pack_fits_vmem(rp: int, cp: int, f: int) -> bool:
+    """Frame-packing VMEM budget: the seg-scan accept chains and the
+    ~12 live int planes scale with the packed width f*cp; keep them
+    under the raised 100 MB scoped-vmem limit with headroom."""
+    planes = 12 + _chain_levels(rp, cp)
+    return rp * (f * cp) * 4 * planes <= 64 * 1024 * 1024
+
+
 def coarse_fits_vmem(hc: int, wc: int) -> bool:
     """True when the (hc, wc) coarse grid fits the kernel's VMEM budget.
 
@@ -165,13 +173,20 @@ def coarse_labels(
     # step kernel.  Pack F frames side by side along lanes; frame
     # separation falls out of the per-frame wrap masks (cm = lane % cp)
     # plus the padding-column invariant above.
-    # Measured on v5e: packing >1 frame only pays under fori_loop round
-    # bodies, which are themselves slower than unrolled rounds (13.2 ms
-    # fori+pack4 vs 11.1 ms unrolled f=1 per 1080p batch 128), and the
-    # unrolled body at packed width blows Mosaic's 16 MB scoped-vmem
-    # stack (no slot reuse across unrolled rounds).  Keep one frame per
-    # step; the machinery below stays frame-count-generic.
+    # The BIT-PACKED flood domain made this pay: flood planes are
+    # (8, cp) = 2 vregs, so the ~4 ms of flood work per 1080p batch-128
+    # was pure op-issue overhead; packing 8 frames per grid step issues
+    # 1/8th the flood ops (measured 5.6 -> 2.8 ms for the stage).  The
+    # earlier packing no-go (13.2 ms fori+pack4 vs 11.1 unrolled f=1)
+    # predates bit-packing, when every flood op was already 28 vregs.
+    # Frame counts that don't divide B fall back to smaller packs; the
+    # int-domain CCL planes are vreg-bound either way (cost-neutral).
     f_pack = 1
+    if not interpret:
+        for cand_f in (8, 4, 2):
+            if b % cand_f == 0 and _pack_fits_vmem(rp, cp, cand_f):
+                f_pack = cand_f
+                break
     bp = _round_up(b, f_pack)
     w_all = f_pack * cp
 
@@ -330,22 +345,27 @@ def coarse_labels(
         inb = inimg_ref[...]  # (nwp, cp) in-image bit masks
         borb = border_ref[...]
 
-        lane_i = jax.lax.broadcasted_iota(jnp.int32, (nwp, w_all), 1)
+        lane_i = jnp.remainder(
+            jax.lax.broadcasted_iota(jnp.int32, (nwp, w_all), 1),
+            jnp.int32(cp),
+        )  # per-frame lane index (frames pack side by side)
         mfw = {}
         mbw = {}
         _s = 1
         while _s < cp:
             # Run-fill shifts must not wrap across the lane axis (the
-            # int-domain seg scans mask wraps the same way).
+            # int-domain seg scans mask wraps the same way); the masks
+            # are per-frame, so a roll that crosses a packed-frame
+            # boundary is killed exactly like an image-edge wrap.
             mfw[_s] = jnp.where(lane_i >= _s, -1, 0)
             mbw[_s] = jnp.where(lane_i < cp - _s, -1, 0)
             _s *= 2
 
         def lane_fwd(x, sh):
-            return pltpu.roll(x, sh % cp, axis=1) & mfw[sh]
+            return pltpu.roll(x, sh % w_all, axis=1) & mfw[sh]
 
         def lane_bwd(x, sh):
-            return pltpu.roll(x, (-sh) % cp, axis=1) & mbw[sh]
+            return pltpu.roll(x, (-sh) % w_all, axis=1) & mbw[sh]
 
         row_lim = 1
         while row_lim < rp:
@@ -396,18 +416,20 @@ def coarse_labels(
 
         def n8_b(x):
             # 8-neighbour OR excluding centre; lane rolls wrap exactly
-            # like the int domain's (wraps land in the padding columns).
+            # like the int domain's (wraps land in the padding columns,
+            # which every frame keeps at its right edge — so packed-
+            # frame crossings carry zeros, same as image-edge wraps).
             h = x | pltpu.roll(x, 1, axis=1) | pltpu.roll(
-                x, cp - 1, axis=1
+                x, w_all - 1, axis=1
             )
             side = pltpu.roll(x, 1, axis=1) | pltpu.roll(
-                x, cp - 1, axis=1
+                x, w_all - 1, axis=1
             )
             return _bit_fwd(h, 1) | _bit_bwd(h, 1) | side
 
         def n4_b(x):
             side = pltpu.roll(x, 1, axis=1) | pltpu.roll(
-                x, cp - 1, axis=1
+                x, w_all - 1, axis=1
             )
             return _bit_fwd(x, 1) | _bit_bwd(x, 1) | side
 
@@ -585,7 +607,7 @@ def coarse_labels(
     # frontend), and the in-image / border seeds as packed bit masks.
     nw = -(-rp // 32)
     nwp = 8 if nw <= 8 else 16  # padded word rows of the bit planes
-    assert nw <= 16 and f_pack == 1
+    assert nw <= 16 and b % f_pack == 0
     wpack = np.zeros((2 * nwp, rp), np.float32)
     for i in range(nw):
         for j in range(16):
@@ -606,6 +628,9 @@ def coarse_labels(
     for c in (0, wc - 1):
         for r in range(rp):  # mirrors the int domain's riota extent
             borb[r // 32, c] |= 1 << (r % 32)
+    # Packed frames tile the per-frame seed masks along lanes.
+    inb = np.tile(inb, (1, f_pack))
+    borb = np.tile(borb, (1, f_pack))
 
     def as_i32(a):
         return jnp.asarray(a.astype(np.uint64).astype(np.uint32).view(np.int32))
@@ -634,7 +659,7 @@ def coarse_labels(
                 vmem_limit_bytes=100 * 1024 * 1024
             )
         )
-        if (rp > 128 or rp * cp * 4 * 12 > 4 * 1024 * 1024)
+        if (f_pack > 1 or rp > 128 or rp * cp * 4 * 12 > 4 * 1024 * 1024)
         else {}
     )
     l1p, l2p = pl.pallas_call(
@@ -644,8 +669,8 @@ def coarse_labels(
             in_spec,
             const_spec((2 * nwp, rp)),
             const_spec((rp, 32 * nwp)),
-            const_spec((nwp, cp)),
-            const_spec((nwp, cp)),
+            const_spec((nwp, f_pack * cp)),
+            const_spec((nwp, f_pack * cp)),
         ],
         out_specs=[spec, spec],
         out_shape=[

@@ -83,6 +83,13 @@ def warp_gather_eval(
     half_p = padi(half)
     srcsel_p = padi(srcsel)
     valid_p = padi(valid)
+    # Per-step any-valid flags: valid lanes are a size-sorted prefix of
+    # each frame's K lanes (merge_fits top-k), so most steps hold only
+    # invalid windows — those skip the whole step body (weights iotas,
+    # per-window scalar reads, branches), not just per-window work.
+    step_any = jnp.max(
+        valid_p.reshape(npad // _G, _G), axis=1
+    ).astype(jnp.int32)
     uxp = jnp.full((npad, s2p), -1e6, jnp.float32).at[:n, :s2].set(ux)
     uyp = jnp.full((npad, s2p), -1e6, jnp.float32).at[:n, :s2].set(uy)
 
@@ -90,8 +97,8 @@ def warp_gather_eval(
 
     def kernel(
         bidx_ref, by_ref, bx_ref, half_ref, srcsel_ref, valid_ref,
-        ux_ref, uy_ref, canvas_ref, src_ref, l1_ref, out_ref,
-        scratch_bf, scratch_u8, sems_bf, sems_u8,
+        step_any_ref, ux_ref, uy_ref, canvas_ref, src_ref, l1_ref,
+        out_ref, scratch_bf, scratch_u8, sems_bf, sems_u8,
     ):
         i = pl.program_id(0)
         nsteps = pl.num_programs(0)
@@ -153,89 +160,99 @@ def warp_gather_eval(
 
         slot = i % 2
 
-        @pl.when(i == 0)
+        @pl.when((i == 0) & (step_any_ref[0] != 0))
         def _():
             start_group(0, 0)
 
-        @pl.when(i + 1 < nsteps)
+        # Clamp the lookahead index: the predicate short-circuits the
+        # last step, but the scalar read itself must stay in bounds.
+        nxt = jnp.minimum(i + 1, nsteps - 1)
+
+        @pl.when((i + 1 < nsteps) & (step_any_ref[nxt] != 0))
         def _():
             start_group(i + 1, 1 - slot)
 
-        # Transposed formulation: every tensor keeps S2 (128-multiple) in
-        # the lane dimension — (s2p, 80)-shaped lanes would force ragged
-        # relayouts.
-        ic = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0).astype(
-            jnp.float32
-        )
-        ir = jax.lax.broadcasted_iota(jnp.int32, (_SH, 1), 0).astype(
-            jnp.float32
-        )
+        @pl.when(step_any_ref[i] != 0)
+        def _step_body():
+            # Transposed formulation: every tensor keeps S2 (128-multiple)
+            # in the lane dimension — (s2p, 80)-shaped lanes would force
+            # ragged relayouts.
+            ic = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0).astype(
+                jnp.float32
+            )
+            ir = jax.lax.broadcasted_iota(jnp.int32, (_SH, 1), 0).astype(
+                jnp.float32
+            )
 
-        for g in range(_G):
-            # Invalid windows skip compute too (their out rows are
-            # garbage, masked downstream).
-            is_valid = valid_ref[i * _G + g] != 0
-            ssel = srcsel_ref[i * _G + g]
-            is_l0 = ssel == 1
+            for g in range(_G):
+                # Invalid windows skip compute too (their out rows are
+                # garbage, masked downstream).
+                is_valid = valid_ref[i * _G + g] != 0
+                ssel = srcsel_ref[i * _G + g]
+                is_l0 = ssel == 1
 
-            @pl.when(is_valid)
-            def _():
-                @pl.when(is_l0)
+                @pl.when(is_valid)
                 def _():
-                    dma_u8(i, slot, g).wait()
+                    @pl.when(is_l0)
+                    def _():
+                        dma_u8(i, slot, g).wait()
 
-                @pl.when(jnp.logical_not(is_l0))
-                def _():
-                    dma_bf(i, slot, g).wait()
+                    @pl.when(jnp.logical_not(is_l0))
+                    def _():
+                        dma_bf(i, slot, g).wait()
 
-                widx = i * _G + g
-                bufb = scratch_bf[slot, g]  # (_SH, _SW) bf16
-                bufu = scratch_u8[slot, g]  # (_SHU, _SW) u8
-                winb = jnp.where(
-                    half_ref[widx] == 0,
-                    bufb[:, :128],
-                    jnp.where(
-                        half_ref[widx] == 1,
-                        bufb[:, 64:192],
-                        bufb[:, 128:256],
-                    ),
-                )  # (_SH, 128)
-                # source-0 window -> bf16 via i32/f32 (Mosaic has no
-                # direct sub-32-bit casts); grey values <= 255 are exact
-                # in bf16.  int16 packed-plane sources carry grey in
-                # bits 0-7 (bit 8 = the refine near flag) — mask it off.
-                winu = jnp.where(
-                    half_ref[widx] == 0, bufu[:, :128], bufu[:, 64:192]
-                ).astype(jnp.int32)
-                if src_i16:
-                    winu = winu & 255
-                winu = winu.astype(jnp.float32)
-                if shu < _SH:
-                    # Pad 72 -> 80 rows with zeros (uy alignment slack
-                    # for u8 is <= 7, so rows beyond 71 carry zero
-                    # weight).
-                    winu = jnp.concatenate(
-                        [winu, jnp.zeros((_SH - shu, 128), jnp.float32)],
-                        axis=0,
+                    widx = i * _G + g
+                    bufb = scratch_bf[slot, g]  # (_SH, _SW) bf16
+                    bufu = scratch_u8[slot, g]  # (_SHU, _SW) u8
+                    winb = jnp.where(
+                        half_ref[widx] == 0,
+                        bufb[:, :128],
+                        jnp.where(
+                            half_ref[widx] == 1,
+                            bufb[:, 64:192],
+                            bufb[:, 128:256],
+                        ),
+                    )  # (_SH, 128)
+                    # source-0 window -> bf16 via i32/f32 (Mosaic has no
+                    # direct sub-32-bit casts); grey values <= 255 are
+                    # exact in bf16.  int16 packed-plane sources carry
+                    # grey in bits 0-7 (bit 8 = the refine near flag) —
+                    # mask it off.
+                    winu = jnp.where(
+                        half_ref[widx] == 0, bufu[:, :128], bufu[:, 64:192]
+                    ).astype(jnp.int32)
+                    if src_i16:
+                        winu = winu & 255
+                    winu = winu.astype(jnp.float32)
+                    if shu < _SH:
+                        # Pad 72 -> 80 rows with zeros (uy alignment
+                        # slack for u8 is <= 7, so rows beyond 71 carry
+                        # zero weight).
+                        winu = jnp.concatenate(
+                            [
+                                winu,
+                                jnp.zeros((_SH - shu, 128), jnp.float32),
+                            ],
+                            axis=0,
+                        )
+                    winu = winu.astype(jnp.bfloat16)
+                    win = jnp.where(is_l0, winu, winb)
+                    # wxT[x, s] = weight of window column x for sample s.
+                    wxt = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(ux_ref[g][None, :] - ic)
+                    ).astype(jnp.bfloat16)  # (128, s2p)
+                    t = jnp.dot(
+                        win, wxt, preferred_element_type=jnp.float32
+                    )  # (_SH, s2p)
+                    wy = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(uy_ref[g][None, :] - ir)
                     )
-                winu = winu.astype(jnp.bfloat16)
-                win = jnp.where(is_l0, winu, winb)
-                # wxT[x, s] = weight of window column x for sample s.
-                wxt = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(ux_ref[g][None, :] - ic)
-                ).astype(jnp.bfloat16)  # (128, s2p)
-                t = jnp.dot(
-                    win, wxt, preferred_element_type=jnp.float32
-                )  # (_SH, s2p)
-                wy = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(uy_ref[g][None, :] - ir)
-                )
-                out_ref[g] = jnp.sum(wy * t, axis=0)
+                    out_ref[g] = jnp.sum(wy * t, axis=0)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=7,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
@@ -265,7 +282,7 @@ def warp_gather_eval(
         out_shape=jax.ShapeDtypeStruct((npad, s2p), jnp.float32),
         interpret=interpret,
     )(
-        bidx_p, by_p, bx_p, half_p, srcsel_p, valid_p, uxp, uyp,
+        bidx_p, by_p, bx_p, half_p, srcsel_p, valid_p, step_any, uxp, uyp,
         canvas, src, l1,
     )
 

@@ -95,6 +95,7 @@ def check_coarse():
     p = segment.QuadParams()
     rng = np.random.default_rng(11)
     cases = [
+        rng.random((8, 108, 192)) < 0.3,   # full frame pack (f_pack=8)
         rng.random((4, 108, 192)) < 0.3,   # headline grid, noise
         rng.random((2, 108, 192)) < 0.65,  # dense (dark-scene-like)
         rng.random((1, 64, 300)) < 0.35,   # wide (cp > 256)
