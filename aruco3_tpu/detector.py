@@ -318,53 +318,61 @@ def detect_batch_arrays(
         # corner refinement runs as one natively-batched Pallas kernel
         # (per-window DMAs; vmapped dynamic_slice would lower to row
         # gathers — the dominant cost of the XLA path).
-        from .ops.coarse_pallas import coarse_fits_vmem, coarse_labels
+        from .ops.coarse_pallas import coarse_fits_vmem
         from .ops.refine_pallas import refine_corners_batch
 
         hc, wc = -(-h // ds), -(-w // ds)
-        if coarse_fits_vmem(hc, wc):
-            labels1, labels2 = coarse_labels(
+        if (
+            coarse_fits_vmem(hc, wc)
+            and params.max_candidates <= 128
+            and params.max_inner_candidates <= 128
+        ):
+            # ONE Pallas launch for segmentation + fit: the label planes
+            # live and die in VMEM (no HBM round trip, no remap pass),
+            # and the fit runs frame-packed — every plane op and
+            # reduction serves all packed frames.  Bit-matches the
+            # label_planes -> fused_fit_batch pipeline below except on
+            # exact-symmetry extreme-point ties (recall-neutral).
+            from .ops.fit_pallas import fused_coarsefit_batch
+
+            fit1, fit2, ic = fused_coarsefit_batch(
                 coarse,
-                params.bg_rounds,
-                params.fill_rounds,
-                params.ccl_rounds,
-                inner_ccl_rounds=params.inner_ccl_rounds,
-                inner_depths=params.inner_depths,
-                inner_flood_rounds=params.inner_flood_rounds,
-                inner_fill_rounds=params.inner_fill_rounds,
-                inner=params.max_inner_candidates > 0,
+                params,
+                ds,
+                params.max_candidates,
+                params.max_inner_candidates,
                 pre_hw=(hc, wc),
+                dup_skip=True,
             )
+            cand = jax.vmap(
+                lambda f1, f2, icb: segment.merge_fits(
+                    None, None, f1, f2, params, ds, inner_coarse=icb
+                )
+            )(fit1, fit2, ic)
         else:
             # Very large coarse grids (8K+ frames at small user-set
             # coarse factors) exceed the kernel's VMEM budget; the XLA
-            # label path is identical bit-for-bit, just slower.
+            # label path is identical bit-for-bit, just slower.  The
+            # fit still runs as the lane-skipping Pallas kernels.
             labels1, labels2 = jax.vmap(
                 lambda c: segment.label_planes(c, params)
             )(coarse[:, :hc, :wc] != 0)
-        # Fitting runs as natively-batched Pallas kernels whose per-rank
-        # and per-lane plane passes skip unused work (typical frames
-        # have ~10 rankable components; the XLA fit is dense over the
-        # full worst-case pool); the tiny top-k + merge stay in XLA.
-        # Matches candidates_from_labels except on exact-symmetry
-        # extreme-point ties, where XLA fusion rounding may pick the
-        # other equally-extreme cell (recall-neutral).
-        from .ops.fit_pallas import fused_fit_batch
+            from .ops.fit_pallas import fused_fit_batch
 
-        fit1, fit2 = fused_fit_batch(
-            labels1,
-            labels2,
-            ds,
-            params,
-            params.max_candidates,
-            params.max_inner_candidates,
-            dup_skip=True,
-        )
-        cand = jax.vmap(
-            lambda lab, lab2, f1, f2: segment.merge_fits(
-                lab, lab2, f1, f2, params, ds
+            fit1, fit2 = fused_fit_batch(
+                labels1,
+                labels2,
+                ds,
+                params,
+                params.max_candidates,
+                params.max_inner_candidates,
+                dup_skip=True,
             )
-        )(labels1, labels2, fit1, fit2)
+            cand = jax.vmap(
+                lambda lab, lab2, f1, f2: segment.merge_fits(
+                    lab, lab2, f1, f2, params, ds
+                )
+            )(labels1, labels2, fit1, fit2)
         # The inner footprint goes to the refinement kernel at coarse
         # resolution (it upsamples per window in VMEM) — merging a
         # full-res bit plane in XLA costs a read-modify-write of the

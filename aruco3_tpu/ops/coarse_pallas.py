@@ -28,6 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..segment import ADMIT_OFFSETS as _ADMIT_OFFSETS
 from .frontend_pallas import _unpack_bits_halving, _unpack_row_order
 
 
@@ -84,6 +85,529 @@ def _chain_levels(rp: int, cp: int) -> int:
     return lv
 
 
+def _fit_pool_size(k: int, p: int) -> int:
+    # fit_quads' grid-scaled ranking-pool formula (segment.py) — p is the
+    # CROPPED cell count (pool-size parity with the XLA path).
+    return max(k, min(p, max(4 * k, 64, min(p // 16, 1024))))
+
+
+def _packed_fit_tail(
+    l1,
+    l2,  # None when the inner pass is disabled
+    out_ref,  # (F, rp_out, 128) f32 fit rows (fused_fit_batch layout)
+    ic_ref,  # (F, rp, cp) i32 inner_coarse (dilated inner footprint)
+    *,
+    F,
+    rp,
+    cp,
+    hc,
+    wc,
+    w_all,
+    ds,
+    k1,
+    k2,
+    min_px,
+    slack,
+    min_cont,
+    dup_skip,
+    riota,
+    cm,
+    pack_bits,
+    unpack_bits,
+    dil8_b,
+    interpret,
+):
+    """In-kernel fit stage over the PACKED padded label planes.
+
+    Reproduces ops.fit_pallas._fused_fit_call (rank pool -> top-k-by-size
+    selection -> per-lane fit chain, dup_skip twin pre-kill) bit-for-bit
+    on the downstream-consumed values, but with F frames packed side by
+    side along lanes — every plane op serves F frames, and the per-frame
+    scalar reductions become one matmul/row-reduce pair or a per-segment
+    Kogge-Stone tree instead of F serialized full-plane reductions.
+
+    Exactness in PADDED space (labels hold per-frame padded linear
+    indices row*cp + col, sentinel rp*cp):
+      * raster/rank order: padding cells are never roots, and padded
+        linear order restricted to in-image cells equals cropped raster
+        order, so ranks, roots (as cells) and argmax tie-breaks (min
+        linear index of the tie set) pick identical cells.
+      * sums (sizes, centroid sums, containment counts) are integers or
+        0.5-multiples < 2^24: exact in f32 at any order, and the MXU
+        frame-indicator contractions use bf16-EXACT integrands (0/1
+        masks, cm < 256, riota < 128, lin split into <256 halves).
+      * per-frame scalar broadcasts split f32 into three bf16 chunks
+        (x = a+b+c exactly, 8+8+8 mantissa bits >= f32's 24), broadcast
+        each with a 0/1 indicator matmul and re-sum — bit-exact.
+      * the admission pre-filter emulates fit_quads' CROPPED jnp.roll
+        wrap with a second lane roll + per-frame select (a padded roll
+        alone would miss legitimate same-component wrap hits of
+        full-width components).
+    Final roots are remapped to cropped linear indices in-kernel; quad
+    coords computed from padded cm/riota equal the cropped values at
+    every member cell.  Reference: bounded candidate list of
+    /root/reference/src/aruco.rs:124-166.
+    """
+    two = l2 is not None and k2 > 0
+    p_crop = hc * wc
+    P = rp * cp  # padded sentinel
+    pf = float(P)
+    kr1 = _fit_pool_size(k1, p_crop)
+    kr2 = _fit_pool_size(k2, p_crop) if two else 0
+    kp1 = _round_up(k1, 8)
+    kp2 = _round_up(k2, 8) if two else 0
+    nstat = 6 if two else 3
+    srow = kp1 + kp2
+    krp1 = _round_up(kr1, 128)
+    krp2 = _round_up(kr2, 128) if two else 0
+    slack_px = slack * ds
+    c0 = (ds - 1) * 0.5
+    t_adm = min(int(min_px), 3)
+
+    f32 = jnp.float32
+    bf = jnp.bfloat16
+
+    # ---- shared geometry planes (once per grid step) ----
+    cm_f = cm.astype(f32)
+    ri_f = riota.astype(f32)
+    lin = riota * cp + cm  # padded per-frame linear index == label space
+    lin_f = lin.astype(f32)
+    lin_hi = (lin // 128).astype(f32)  # <= 255: bf16-exact matmul halves
+    lin_lo = (lin % 128).astype(f32)
+    cxp = cm_f * ds + c0
+    cyp = ri_f * ds + c0
+    cm_row = cm[:1]  # (1, w_all) per-frame lane index
+    neg_inf = jnp.float32(-jnp.inf)
+    pos_inf = jnp.float32(jnp.inf)
+
+    # Frame-indicator matmul weights (0/1, bf16-exact).
+    find = (
+        jax.lax.broadcasted_iota(jnp.int32, (w_all, F), 0) // cp
+        == jax.lax.broadcasted_iota(jnp.int32, (w_all, F), 1)
+    )
+    ind = find.astype(f32).astype(bf)  # (w_all, F)
+    findT = (
+        jax.lax.broadcasted_iota(jnp.int32, (F, w_all), 1) // cp
+        == jax.lax.broadcasted_iota(jnp.int32, (F, w_all), 0)
+    )
+    indT = findT.astype(f32).astype(bf)  # (F, w_all)
+
+    def seg_sum(integrand):
+        """(rp, w_all) f32 bf16-exact-valued -> (1, F) per-frame sums.
+
+        Stage 1 contracts lanes on the MXU (bf16 x 0/1 -> f32 accum),
+        stage 2 sums the (rp, F) partials over sublanes in f32 — exact
+        for integer-valued data with per-frame sums < 2^24."""
+        a = jax.lax.dot_general(
+            integrand.astype(bf), ind, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (rp, F)
+        return jnp.sum(a, axis=0, keepdims=True)  # (1, F)
+
+    def bcast_row(x):
+        """(1, F) f32 (any value) -> (1, w_all) per-frame broadcast,
+        bit-exact: three-way bf16 split (x = a+b+c exactly; 24 mantissa
+        bits covered), each chunk broadcast by a 0/1 indicator matmul,
+        re-summed in f32 (a+b exact at 16 bits, +c exact at 24)."""
+        a = x.astype(bf).astype(f32)
+        r1 = x - a
+        b_ = r1.astype(bf).astype(f32)
+        c_ = r1 - b_
+
+        def mm(t):
+            return jax.lax.dot_general(
+                t.astype(bf), indT, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # (1, w_all)
+
+        return (mm(a) + mm(b_)) + mm(c_)
+
+    def seg_max_row(x, fill):
+        """(rp, w_all) f32 -> (1, w_all): per-frame max, broadcast over
+        each frame's lanes.  Row-reduce (frame-safe), Kogge-Stone
+        suffix-max within frames, then log-broadcast from lane 0."""
+        r = jnp.max(x, axis=0, keepdims=True)
+        s = 1
+        while s < cp:
+            nxt = pltpu.roll(r, (-s) % w_all, axis=1)
+            r = jnp.maximum(r, jnp.where(cm_row + s < cp, nxt, fill))
+            s *= 2
+        s = 1
+        while s < cp:
+            prev = pltpu.roll(r, s % w_all, axis=1)
+            r = jnp.where(cm_row >= s, prev, r)
+            s *= 2
+        return r
+
+    def seg_min_row(x, fill):
+        r = jnp.min(x, axis=0, keepdims=True)
+        s = 1
+        while s < cp:
+            nxt = pltpu.roll(r, (-s) % w_all, axis=1)
+            r = jnp.minimum(r, jnp.where(cm_row + s < cp, nxt, fill))
+            s *= 2
+        s = 1
+        while s < cp:
+            prev = pltpu.roll(r, s % w_all, axis=1)
+            r = jnp.where(cm_row >= s, prev, r)
+            s *= 2
+        return r
+
+    def col(x_1f):
+        return jnp.reshape(x_1f, (F, 1))
+
+    def row(x_f1):
+        return jnp.reshape(x_f1, (1, F))
+
+    def crop_roll(x, dy, dx):
+        """Per-frame CROPPED jnp.roll(jnp.roll(x, -dy, 0), -dx, 1) on the
+        padded packed plane (wraps at hc rows / wc lanes, exactly like
+        fit_quads' admission rolls; padding rows/lanes read garbage but
+        the count is only consumed at root cells, which never sit in
+        padding)."""
+        if dy:
+            parts = [x[dy:hc], x[:dy]]
+            if rp > hc:
+                parts.append(jnp.full((rp - hc, w_all), P, jnp.int32))
+            x = jnp.concatenate(parts, axis=0)
+        if dx:
+            main = pltpu.roll(x, (-dx) % w_all, axis=1)
+            if dx > 0:
+                wrap = pltpu.roll(x, (wc - dx) % w_all, axis=1)
+                x = jnp.where(cm < wc - dx, main, wrap)
+            else:
+                wrap = pltpu.roll(x, (-(wc + dx)) % w_all, axis=1)
+                x = jnp.where(cm >= -dx, main, wrap)
+        return x
+
+    # ---- rank prep (admission pre-filter + per-frame MXU cumsum) ----
+    tri_lane = (
+        jax.lax.broadcasted_iota(jnp.int32, (cp, cp), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (cp, cp), 1)
+    ).astype(f32).astype(bf)
+    tri_row = (
+        jax.lax.broadcasted_iota(jnp.int32, (rp, rp), 1)
+        < jax.lax.broadcasted_iota(jnp.int32, (rp, rp), 0)
+    ).astype(f32).astype(bf)
+
+    def rank_prep(lab):
+        is_root = lab == lin
+        if t_adm > 1:
+            cnt = jnp.zeros((rp, w_all), jnp.int32)
+            by_dy: dict[int, list[int]] = {}
+            for dy, dx in _ADMIT_OFFSETS[t_adm]:
+                by_dy.setdefault(dy, []).append(dx)
+            for dy, dxs in by_dy.items():
+                rowr = crop_roll(lab, dy, 0)
+                for dx in dxs:
+                    sh = crop_roll(rowr, 0, dx)
+                    cnt = cnt + (sh == lab).astype(jnp.int32)
+            is_root = is_root & (cnt >= t_adm - 1)
+        ir_f = is_root.astype(f32)
+        n_1f = seg_sum(ir_f)  # (1, F) root counts
+        root_bf = ir_f.astype(bf)
+        blocks = []
+        for f in range(F):
+            blk = root_bf[:, f * cp : (f + 1) * cp]  # (rp, cp)
+            pref = jax.lax.dot_general(
+                blk, tri_lane, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # inclusive lane prefix
+            rowtot = pref[:, cp - 1 : cp]  # (rp, 1) row totals (<= wc)
+            rpex = jax.lax.dot_general(
+                tri_row, rowtot.astype(bf), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # exclusive row prefix
+            blocks.append(
+                (pref + rpex - 1.0).astype(jnp.int32)
+            )
+        rank = jnp.concatenate(blocks, axis=1)
+        ranked = jnp.where(is_root, rank, -1)
+        return ranked, n_1f
+
+    # ---- per-rank (root, size) extraction ----
+    def rank_pool(lab, ranked, n_1f, kr, krp):
+        t_1f = jnp.minimum(n_1f, float(kr))
+        h_1f = jnp.floor((t_1f + 1.0) * 0.5)  # per-frame half split
+        t_col = col(t_1f)  # f32 columns (Mosaic can't reshape i1)
+        h_col = col(h_1f)
+        h_row = bcast_row(h_1f)
+        trips = jnp.max(h_1f).astype(jnp.int32)
+        lane_kr = jax.lax.broadcasted_iota(jnp.int32, (F, krp), 1)
+
+        def extract(lab, hit):
+            hi = seg_sum(jnp.where(hit, lin_hi, 0.0))
+            lo = seg_sum(jnp.where(hit, lin_lo, 0.0))
+            root_1f = hi * 128.0 + lo  # (1, F) f32, exact (< 2^15)
+            root_row = bcast_row(root_1f).astype(jnp.int32)
+            size_1f = seg_sum((lab == root_row).astype(f32))
+            return root_1f, size_1f
+
+        def body(r, carry):
+            rv, sv = carry
+            rf = jnp.float32(r)
+            # chain A: rank r (valid while r < h_f)
+            hit_a = ranked == r
+            ra_1f, sa_1f = extract(lab, hit_a)
+            va_col = h_col > rf
+            tgt_a = jnp.where(va_col, r, krp)
+            rv = jnp.where(lane_kr == tgt_a, col(ra_1f), rv)
+            sv = jnp.where(lane_kr == tgt_a, col(sa_1f), sv)
+            # chain B: rank r + h_f (per-frame offset; valid < t_f)
+            r2_row = h_row + rf  # (1, w_all) per-frame rank index
+            hit_b = ranked.astype(f32) == r2_row
+            rb_1f, sb_1f = extract(lab, hit_b)
+            vb_col = t_col > h_col + rf
+            tgt_b = jnp.where(
+                vb_col, (h_col + rf).astype(jnp.int32), krp
+            )
+            rv = jnp.where(lane_kr == tgt_b, col(rb_1f), rv)
+            sv = jnp.where(lane_kr == tgt_b, col(sb_1f), sv)
+            return rv, sv
+
+        rv = jnp.zeros((F, krp), f32)
+        sv = jnp.full((F, krp), -1.0, f32)
+        rv, sv = jax.lax.fori_loop(0, trips, body, (rv, sv))
+        return rv, sv, t_1f
+
+    # ---- top-k-by-size selection (packed root key; see fit_pallas) ----
+    p2 = 1 << max(P - 1, 1).bit_length()
+    root_key = (P + 1) * p2 < 2**31
+    p2log = p2.bit_length() - 1
+
+    def select(rv, sv, n_1f, k, krp):
+        ns_1f = jnp.minimum(n_1f, float(k))
+        ns_col = col(ns_1f)
+        rounds = jnp.max(ns_1f).astype(jnp.int32)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (F, 128), 1)
+        if root_key:
+            key0 = sv.astype(jnp.int32) * p2 + (
+                (p2 - 1) - rv.astype(jnp.int32)
+            )
+        else:
+            lane_kr = jax.lax.broadcasted_iota(jnp.int32, (F, krp), 1)
+            key0 = sv.astype(jnp.int32) * 1024 + (1023 - lane_kr)
+
+        def body(j, carry):
+            key, sr8, ss8 = carry
+            m_col = jnp.max(key, axis=1, keepdims=True)  # (F, 1)
+            valid_col = ns_col > jnp.float32(j)
+            if root_key:
+                root_col = ((p2 - 1) - (m_col & (p2 - 1))).astype(f32)
+            else:
+                pick = key == m_col
+                root_col = jnp.sum(
+                    jnp.where(pick, rv, 0.0), axis=1, keepdims=True
+                )
+            size_col = jnp.right_shift(m_col, p2log if root_key else 10
+                                       ).astype(f32)
+            tgt = jnp.where(valid_col, j, 128)
+            sr8 = jnp.where(lane128 == tgt, root_col, sr8)
+            ss8 = jnp.where(lane128 == tgt, size_col, ss8)
+            key = jnp.where(
+                (key == m_col) & valid_col, jnp.int32(-(2**30)), key
+            )
+            return key, sr8, ss8
+
+        sr8 = jnp.zeros((F, 128), f32)
+        ss8 = jnp.full((F, 128), -1.0, f32)
+        _, sr8, ss8 = jax.lax.fori_loop(
+            0, rounds, body, (key0, sr8, ss8)
+        )
+        return sr8, ss8, ns_1f
+
+    # ---- per-lane fit chain (packed rows; fit_quads' f32 expressions) --
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (F, 128), 1)
+
+    def fetch(sr8, ss8, kk):
+        hit = lane128 == kk
+        r_col = jnp.sum(jnp.where(hit, sr8, 0.0), axis=1, keepdims=True)
+        s_col = jnp.sum(jnp.where(hit, ss8, 0.0), axis=1, keepdims=True)
+        return r_col, s_col
+
+    def chain_rows(lab, root_1f, size_1f):
+        """Returns the 11 per-frame value rows [(1, w_all)] of the fit
+        chain (ax..dy, frac, cenx, ceny) — fit_quads' exact f32
+        expressions evaluated per frame segment."""
+        root_row = bcast_row(root_1f).astype(jnp.int32)
+        member = lab == root_row
+        szf_1f = jnp.maximum(size_1f, 1.0)
+        s_cm = seg_sum(jnp.where(member, cm_f, 0.0))
+        s_ri = seg_sum(jnp.where(member, ri_f, 0.0))
+        # sum(cxp over member) == ds*sum(cm) + c0*size exactly (both are
+        # exact f32 computations of the same 0.5-multiple < 2^24); the
+        # passed selection size IS the member count on valid lanes.
+        size_m = jnp.maximum(size_1f, 0.0)
+        cenx_1f = (ds * s_cm + c0 * size_m) / szf_1f
+        ceny_1f = (ds * s_ri + c0 * size_m) / szf_1f
+        cenx_row = bcast_row(cenx_1f)
+        ceny_row = bcast_row(ceny_1f)
+
+        def amax_idx(score_masked, m_row):
+            cand = jnp.where(score_masked == m_row, lin_f, pf)
+            return seg_min_row(cand, pf)
+
+        def cx_of(i_row):
+            ii = i_row.astype(jnp.int32)
+            return (ii % cp).astype(f32) * ds + c0
+
+        def cy_of(i_row):
+            ii = i_row.astype(jnp.int32)
+            return (ii // cp).astype(f32) * ds + c0
+
+        d2c = (cxp - cenx_row) ** 2 + (cyp - ceny_row) ** 2
+        s1 = jnp.where(member, d2c, neg_inf)
+        ia = amax_idx(s1, seg_max_row(s1, neg_inf))
+        ax, ay = cx_of(ia), cy_of(ia)
+        d2a = (cxp - ax) ** 2 + (cyp - ay) ** 2
+        s2 = jnp.where(member, d2a, neg_inf)
+        ic_ = amax_idx(s2, seg_max_row(s2, neg_inf))
+        qcx, qcy = cx_of(ic_), cy_of(ic_)
+        dx = qcx - ax
+        dy = qcy - ay
+        cross = (cxp - ax) * dy - (cyp - ay) * dx
+        s3 = jnp.where(member, cross, neg_inf)
+        ib = amax_idx(s3, seg_max_row(s3, neg_inf))
+        s4 = jnp.where(member, cross, pos_inf)
+        cand4 = jnp.where(s4 == seg_min_row(s4, pos_inf), lin_f, pf)
+        idd = seg_min_row(cand4, pf)
+        bx, by = cx_of(ib), cy_of(ib)
+        ddx, ddy = cx_of(idd), cy_of(idd)
+
+        area2 = (
+            ax * by - bx * ay
+            + bx * qcy - qcx * by
+            + qcx * ddy - ddx * qcy
+            + ddx * ay - ax * ddy
+        )
+        sgn = jnp.where(area2 >= 0, 1.0, -1.0)
+        inside = None
+        for efx, efy, etx, ety in (
+            (ax, ay, bx, by),
+            (bx, by, qcx, qcy),
+            (qcx, qcy, ddx, ddy),
+            (ddx, ddy, ax, ay),
+        ):
+            ex = etx - efx
+            ey = ety - efy
+            elen = jnp.sqrt(ex * ex + ey * ey) + 1e-6
+            av = sgn * ex
+            bv = sgn * ey
+            c0e = bv * efx - av * efy
+            rhs = -slack_px * elen - c0e  # (1, w_all) row RHS
+            cmp = cyp * av - cxp * bv >= rhs
+            inside = cmp if inside is None else inside & cmp
+        frac_1f = seg_sum((member & inside).astype(f32)) / szf_1f
+        frac_row = bcast_row(frac_1f)
+        return (
+            [ax, ay, bx, by, qcx, qcy, ddx, ddy, frac_row, cenx_row,
+             ceny_row],
+            frac_1f,
+        )
+
+    def write_rows(vals, gate_row, kk, row0):
+        """Assemble the 11 values into each frame's output row (value fi
+        at lane f*cp+fi), zero gated-off frames, store per frame."""
+        acc = jnp.zeros((1, w_all), f32)
+        for fi, v in enumerate(vals):
+            acc = jnp.where(cm_row == fi, v, acc)
+        acc = jnp.where(gate_row > 0.5, acc, 0.0)
+        for f in range(F):
+            out_ref[f, row0 + kk] = acc[0, f * cp : f * cp + 128]
+
+    # ================= driver =================
+    ranked1, n1_1f = rank_prep(l1)
+    rv1, sv1, _t1 = rank_pool(l1, ranked1, n1_1f, kr1, krp1)
+    sr1, ss1, ns1_1f = select(rv1, sv1, n1_1f, k1, krp1)
+    ns1_row = bcast_row(ns1_1f)
+    trips1 = jnp.max(ns1_1f).astype(jnp.int32)
+
+    if two:
+        ranked2, n2_1f = rank_prep(l2)
+        rv2, sv2, _t2 = rank_pool(l2, ranked2, n2_1f, kr2, krp2)
+        sr2, ss2, ns2_1f = select(rv2, sv2, n2_1f, k2, krp2)
+        ns2_row = bcast_row(ns2_1f)
+        trips2 = jnp.max(ns2_1f).astype(jnp.int32)
+
+    # Zero the whole output block once (unused lanes/rows stay zero).
+    rp_out = out_ref.shape[1]
+    for f in range(F):
+        out_ref[f] = jnp.zeros((rp_out, 128), f32)
+
+    # ---- pass-1 fit chains ----
+    def lane1_body(kk, frac1_8):
+        r_col, s_col = fetch(sr1, ss1, kk)
+        vals, frac_1f = chain_rows(l1, row(r_col), row(s_col))
+        valid_row = (ns1_row > jnp.float32(kk)).astype(f32)
+        write_rows(vals, valid_row, kk, 0)
+        valid_col = col(ns1_1f) > jnp.float32(kk)
+        tgt = jnp.where(valid_col, kk, 128)
+        return jnp.where(lane128 == tgt, col(frac_1f), frac1_8)
+
+    frac1_8 = jax.lax.fori_loop(
+        0, trips1, lane1_body, jnp.zeros((F, 128), f32)
+    )
+
+    # ---- pass-2 fit chains (twin pre-kill per merge_fits) ----
+    if two:
+        if dup_skip:
+            valid1v = (ss1 >= float(min_px)) & (frac1_8 >= min_cont)
+
+        def lane2_body(kk, carry):
+            r_col, s_col = fetch(sr2, ss2, kk)
+            valid_col = col(ns2_1f) > jnp.float32(kk)
+            if dup_skip:
+                twin_col = jnp.any(
+                    (sr1 == r_col) & (ss1 == s_col) & valid1v,
+                    axis=1,
+                    keepdims=True,
+                )
+                run_col = valid_col & jnp.logical_not(twin_col)
+            else:
+                run_col = valid_col
+            run_any = jnp.max(run_col.astype(jnp.int32))
+
+            @pl.when(run_any > 0)
+            def _():
+                vals, _ = chain_rows(l2, row(r_col), row(s_col))
+                run_row = bcast_row(row(run_col.astype(f32)))
+                write_rows(vals, run_row, kk, kp1)
+            return carry
+
+        jax.lax.fori_loop(0, trips2, lane2_body, 0)
+
+    # ---- stats rows (selection results; roots remapped to cropped) ----
+    def remap8(v8):
+        vi = v8.astype(jnp.int32)
+        return ((vi // cp) * wc + vi % cp).astype(f32)
+
+    n1_row = bcast_row(n1_1f)
+    sr1c = remap8(sr1)
+    for f in range(F):
+        out_ref[f, srow] = sr1c[f]
+        out_ref[f, srow + 1] = ss1[f]
+        # bcast_row already filled every frame lane with n — slice it.
+        out_ref[f, srow + 2] = n1_row[0, f * cp : f * cp + 128]
+    if two:
+        n2_row = bcast_row(n2_1f)
+        sr2c = remap8(sr2)
+        for f in range(F):
+            out_ref[f, srow + 3] = sr2c[f]
+            out_ref[f, srow + 4] = ss2[f]
+            out_ref[f, srow + 5] = n2_row[0, f * cp : f * cp + 128]
+
+    # ---- inner_coarse: dilated inner footprint (merge_fits' _dilate3
+    # of labels2 < sentinel; consumer crops to (hc, wc)) ----
+    if two:
+        filled2 = (l2 != P).astype(jnp.int32)
+        dil = unpack_bits(dil8_b(pack_bits(filled2)))
+        for f in range(F):
+            ic_ref[f] = dil[:, f * cp : (f + 1) * cp]
+    else:
+        for f in range(F):
+            ic_ref[f] = jnp.zeros((rp, cp), jnp.int32)
+
+
 def _pack_fits_vmem(rp: int, cp: int, f: int) -> bool:
     """Frame-packing VMEM budget: the seg-scan accept chains and the
     ~12 live int planes scale with the packed width f*cp; keep them
@@ -115,7 +639,7 @@ def coarse_fits_vmem(hc: int, wc: int) -> bool:
     static_argnames=(
         "bg_rounds", "fill_rounds", "ccl_rounds", "inner_ccl_rounds",
         "inner_depths", "inner_flood_rounds", "inner_fill_rounds",
-        "inner", "pre_hw", "interpret",
+        "inner", "pre_hw", "fit_cfg", "interpret",
     ),
 )
 def coarse_labels(
@@ -129,6 +653,7 @@ def coarse_labels(
     inner_fill_rounds: int = 4,
     inner: bool = True,
     pre_hw: tuple[int, int] | None = None,
+    fit_cfg: tuple | None = None,
     interpret: bool = False,
 ):
     """-> (labels1, labels2) (B, Hc, Wc) int32 in Hc*Wc-cropped linear
@@ -508,8 +1033,9 @@ def coarse_labels(
         filled1b = (m1b | (~wrb & notm1b)) & inb
         filled1 = unpack_bits(filled1b)
         l1 = label_ccl(filled1, ccl_rounds)
-        for f in range(f_pack):
-            l1_ref[f] = l1[:, f * cp : (f + 1) * cp]
+        if fit_cfg is None:
+            for f in range(f_pack):
+                l1_ref[f] = l1[:, f * cp : (f + 1) * cp]
 
         # ---- pass 2: depth-peeled inner labelling ----------------------
         # (segment.label_planes semantics: peel nesting levels off the
@@ -596,11 +1122,47 @@ def coarse_labels(
                         jnp.any(carry[1] != 0), peel, lambda c: c, carry
                     )
             l2 = carry[0]
-            for f in range(f_pack):
-                l2_ref[f] = l2[:, f * cp : (f + 1) * cp]
+            if fit_cfg is None:
+                for f in range(f_pack):
+                    l2_ref[f] = l2[:, f * cp : (f + 1) * cp]
         else:
-            for f in range(f_pack):
-                l2_ref[f] = jnp.full((rp, cp), sent, jnp.int32)
+            l2 = None
+            if fit_cfg is None:
+                for f in range(f_pack):
+                    l2_ref[f] = jnp.full((rp, cp), sent, jnp.int32)
+
+        if fit_cfg is not None:
+            # Fused fit stage: consume the label planes in VMEM (they
+            # never reach HBM); l1_ref carries the fit output rows,
+            # l2_ref the dilated inner footprint for merge_fits.
+            k1f, k2f, ds_fit, min_pxf, slackf, min_contf, dup_skipf = (
+                fit_cfg
+            )
+            _packed_fit_tail(
+                l1,
+                l2 if (inner and k2f > 0) else None,
+                l1_ref,
+                l2_ref,
+                F=f_pack,
+                rp=rp,
+                cp=cp,
+                hc=hc,
+                wc=wc,
+                w_all=w_all,
+                ds=ds_fit,
+                k1=k1f,
+                k2=k2f,
+                min_px=min_pxf,
+                slack=slackf,
+                min_cont=min_contf,
+                dup_skip=dup_skipf,
+                riota=riota,
+                cm=cm,
+                pack_bits=pack_bits,
+                unpack_bits=unpack_bits,
+                dil8_b=dil8_b,
+                interpret=interpret,
+            )
 
     # Constants for the bit-packed flood domain: the row-packing MXU
     # weights + halving-unpack selector (same scheme as the fused
@@ -638,6 +1200,22 @@ def coarse_labels(
     spec = pl.BlockSpec(
         (f_pack, rp, cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
+    if fit_cfg is not None:
+        _k1, _k2, *_rest = fit_cfg
+        _two = inner and _k2 > 0
+        _kp1 = _round_up(_k1, 8)
+        _kp2 = _round_up(_k2, 8) if _two else 0
+        _nstat = 6 if _two else 3
+        rp_out = _round_up(_kp1 + _kp2 + _nstat + 1, 8)
+        o1_spec = pl.BlockSpec(
+            (f_pack, rp_out, 128),
+            lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        o1_shape = jax.ShapeDtypeStruct((bp, rp_out, 128), jnp.float32)
+    else:
+        o1_spec = spec
+        o1_shape = jax.ShapeDtypeStruct((bp, rp, cp), jnp.int32)
     in_spec = pl.BlockSpec(
         (f_pack, rows_blk, cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
@@ -672,9 +1250,9 @@ def coarse_labels(
             const_spec((nwp, f_pack * cp)),
             const_spec((nwp, f_pack * cp)),
         ],
-        out_specs=[spec, spec],
+        out_specs=[o1_spec, spec],
         out_shape=[
-            jax.ShapeDtypeStruct((bp, rp, cp), jnp.int32),
+            o1_shape,
             jax.ShapeDtypeStruct((bp, rp, cp), jnp.int32),
         ],
         interpret=interpret,
@@ -688,6 +1266,11 @@ def coarse_labels(
     )
     l1p = l1p[:b]
     l2p = l2p[:b]
+
+    if fit_cfg is not None:
+        # (fit output rows, dilated inner footprint) — roots already
+        # remapped to cropped linear indices in-kernel.
+        return l1p, l2p[:, :hc, :wc] != 0
 
     # Remap padded linear indices (row*cp + col) to cropped (row*wc + col);
     # cp is a compile-time constant so the div/mod strength-reduce.

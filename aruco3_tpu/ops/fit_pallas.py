@@ -856,43 +856,105 @@ def fused_fit_batch(
         interpret=interpret,
     )
 
-    def unpack(row0, srow, k):
-        rows = out[:, row0 : row0 + k]
-        quads = jnp.stack(
-            [
-                jnp.stack([rows[..., _F_AX], rows[..., _F_AY]], axis=-1),
-                jnp.stack([rows[..., _F_BX], rows[..., _F_BY]], axis=-1),
-                jnp.stack([rows[..., _F_CX], rows[..., _F_CY]], axis=-1),
-                jnp.stack([rows[..., _F_DX], rows[..., _F_DY]], axis=-1),
-            ],
-            axis=-2,
-        )
-        cents = jnp.stack(
-            [rows[..., _F_CENX], rows[..., _F_CENY]], axis=-1
-        )
-        frac = rows[..., _F_CONTAIN]
-        roots = out[:, srow, :k].astype(jnp.int32)
-        sizes = out[:, srow + 1, :k].astype(jnp.int32)
-        n_roots = out[:, srow + 2, 0].astype(jnp.int32)
-        lane_used = sizes >= 0
-        sizes_pos = jnp.maximum(sizes, 0)
-        valid = (
-            lane_used
-            & (sizes_pos >= params.min_component_px)
-            & (frac >= params.min_containment)
-        )
-        return {
-            "quads": quads,
-            "valid": valid,
-            "roots": roots,
-            "centroids": cents,
-            "sizes": sizes_pos,
-            "qualifying": n_roots,
-        }
-
-    fit1 = unpack(0, kp1 + kp2, k1)
-    fit2 = unpack(kp1, kp1 + kp2 + 3, k2) if two else None
+    fit1 = _unpack_fit_rows(out, 0, kp1 + kp2, k1, params)
+    fit2 = (
+        _unpack_fit_rows(out, kp1, kp1 + kp2 + 3, k2, params)
+        if two
+        else None
+    )
     return fit1, fit2
+
+
+def _unpack_fit_rows(out, row0, srow, k, params):
+    """Decode one pass's fit dict from the (B, rows, 128) kernel output
+    (shared by the standalone fused fit kernel and the coarse+fit
+    mega-kernel — identical row layout)."""
+    rows = out[:, row0 : row0 + k]
+    quads = jnp.stack(
+        [
+            jnp.stack([rows[..., _F_AX], rows[..., _F_AY]], axis=-1),
+            jnp.stack([rows[..., _F_BX], rows[..., _F_BY]], axis=-1),
+            jnp.stack([rows[..., _F_CX], rows[..., _F_CY]], axis=-1),
+            jnp.stack([rows[..., _F_DX], rows[..., _F_DY]], axis=-1),
+        ],
+        axis=-2,
+    )
+    cents = jnp.stack(
+        [rows[..., _F_CENX], rows[..., _F_CENY]], axis=-1
+    )
+    frac = rows[..., _F_CONTAIN]
+    roots = out[:, srow, :k].astype(jnp.int32)
+    sizes = out[:, srow + 1, :k].astype(jnp.int32)
+    n_roots = out[:, srow + 2, 0].astype(jnp.int32)
+    lane_used = sizes >= 0
+    sizes_pos = jnp.maximum(sizes, 0)
+    valid = (
+        lane_used
+        & (sizes_pos >= params.min_component_px)
+        & (frac >= params.min_containment)
+    )
+    return {
+        "quads": quads,
+        "valid": valid,
+        "roots": roots,
+        "centroids": cents,
+        "sizes": sizes_pos,
+        "qualifying": n_roots,
+    }
+
+
+def fused_coarsefit_batch(
+    coarse_pre: jnp.ndarray,  # pre-padded coarse plane (emit_coarse)
+    params,  # segment.QuadParams
+    ds: int,
+    k1: int,
+    k2: int,
+    pre_hw: tuple[int, int],
+    dup_skip: bool = False,
+    interpret: bool = False,
+):
+    """Coarse segmentation + candidate fit in ONE Pallas launch: the
+    label planes live and die in VMEM (never written to HBM), and the
+    fit runs over the kernel's frame-packed layout so every plane op
+    serves all packed frames.  Returns (fit1, fit2, inner_coarse) with
+    fit dicts bit-matching fused_fit_batch(label_planes(...)) and
+    inner_coarse == segment._dilate3(labels2 < P) cropped to (hc, wc).
+    """
+    from .coarse_pallas import coarse_labels
+
+    two = k2 > 0
+    fit_cfg = (
+        int(k1),
+        int(k2),
+        int(ds),
+        int(params.min_component_px),
+        float(params.containment_slack),
+        float(params.min_containment),
+        bool(dup_skip) and two,
+    )
+    rows, inner_coarse = coarse_labels(
+        coarse_pre,
+        params.bg_rounds,
+        params.fill_rounds,
+        params.ccl_rounds,
+        inner_ccl_rounds=params.inner_ccl_rounds,
+        inner_depths=params.inner_depths,
+        inner_flood_rounds=params.inner_flood_rounds,
+        inner_fill_rounds=params.inner_fill_rounds,
+        inner=two,
+        pre_hw=pre_hw,
+        fit_cfg=fit_cfg,
+        interpret=interpret,
+    )
+    kp1 = _round_up(k1, 8)
+    kp2 = _round_up(k2, 8) if two else 0
+    fit1 = _unpack_fit_rows(rows, 0, kp1 + kp2, k1, params)
+    fit2 = (
+        _unpack_fit_rows(rows, kp1, kp1 + kp2 + 3, k2, params)
+        if two
+        else None
+    )
+    return fit1, fit2, inner_coarse
 
 
 def fit_quads_batch(

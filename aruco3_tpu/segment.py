@@ -850,22 +850,26 @@ def candidates_from_labels(
 
 
 def merge_fits(
-    labels: jnp.ndarray,
-    labels2: jnp.ndarray,
+    labels: jnp.ndarray | None,
+    labels2: jnp.ndarray | None,
     fit: dict,
     fit2: dict | None,
     params: QuadParams,
     ds: int,
+    inner_coarse: jnp.ndarray | None = None,
 ):
     """Merge the outer/inner fits into K candidate lanes (size priority,
-    outer winning ties, same-marker inner duplicates suppressed)."""
+    outer winning ties, same-marker inner duplicates suppressed).
+
+    ``inner_coarse``: precomputed dilated inner footprint (the fused
+    coarse+fit kernel emits it in-kernel); when given, the label planes
+    are not consulted and may be None."""
     k1 = params.max_candidates
     k2 = params.max_inner_candidates
 
     overflow = jnp.maximum(fit["qualifying"] - k1, 0)
 
     if k2 > 0:
-        filled2 = labels2 < labels2.size  # sentinel == grid size
         overflow = overflow + jnp.maximum(fit2["qualifying"] - k2, 0)
 
         # Every free-standing marker ring is also a non-border-connected
@@ -931,7 +935,9 @@ def merge_fits(
         sizes = jnp.take(sizes_c, sel, axis=0)
         centroids = jnp.take(cents_c, sel, axis=0)
         is_inner = sel >= k1
-        inner_coarse = _dilate3(filled2)
+        if inner_coarse is None:
+            filled2 = labels2 < labels2.size  # sentinel == grid size
+            inner_coarse = _dilate3(filled2)
         n_valid = jnp.sum(valid_c.astype(jnp.int32))
         overflow = overflow + jnp.maximum(
             n_valid - jnp.sum(valid.astype(jnp.int32)), 0
@@ -940,7 +946,8 @@ def merge_fits(
         quads, valid = fit["quads"], fit["valid"]
         sizes, centroids = fit["sizes"], fit["centroids"]
         is_inner = jnp.zeros(quads.shape[0], dtype=bool)
-        inner_coarse = jnp.zeros(labels.shape, dtype=bool)
+        if inner_coarse is None:
+            inner_coarse = jnp.zeros(labels.shape, dtype=bool)
 
     return {
         "quads": quads,

@@ -503,6 +503,52 @@ def test_fused_fit_dup_skip_matches_merged_candidates(rng):
             assert abs(da - db) < 1e-2, (bi, kk, qa[bi, kk], qb[bi, kk])
 
 
+def test_fused_coarsefit_matches_pipeline(rng):
+    """The coarse+fit mega-kernel (labels never leave VMEM; fit runs in
+    the kernel's packed padded space) must bit-match the label_planes ->
+    fused_fit_batch -> merge_fits pipeline on everything downstream
+    reads, including the dilated inner footprint it emits in-kernel."""
+    from aruco3_tpu.ops.coarse_pallas import _round_up
+    from aruco3_tpu.ops.fit_pallas import (
+        fused_coarsefit_batch, fused_fit_batch,
+    )
+
+    p = segment.QuadParams()
+    k1, k2, ds = p.max_candidates, p.max_inner_candidates, 8
+    ring = np.zeros((1, 60, 80), bool)
+    ring[0, 10:50, 10:70] = True
+    ring[0, 16:44, 16:64] = False
+    ring[0, 22:38, 22:58] = True
+    for m in (rng.random((2, 40, 54)) < 0.35, ring):
+        c = jnp.asarray(m)
+        b, hc, wc = c.shape
+        rp = max(_round_up(hc, 8), 8)
+        cp = max(256, _round_up(wc + 1, 128))
+        pre = np.zeros((b, rp, cp), np.int32)
+        pre[:, :hc, :wc] = np.asarray(m).astype(np.int32)
+        fit1, fit2, ic = fused_coarsefit_batch(
+            jnp.asarray(pre), p, ds, k1, k2, pre_hw=(hc, wc),
+            dup_skip=True, interpret=True,
+        )
+        got = jax.vmap(
+            lambda f1, f2, icb: segment.merge_fits(
+                None, None, f1, f2, p, ds, inner_coarse=icb
+            )
+        )(fit1, fit2, ic)
+        l1, l2 = jax.vmap(lambda mm: segment.label_planes(mm, p))(c)
+        rf1, rf2 = fused_fit_batch(
+            l1, l2, ds, p, k1, k2, dup_skip=True, interpret=True
+        )
+        ref = jax.vmap(
+            lambda a, bb, x, y: segment.merge_fits(a, bb, x, y, p, ds)
+        )(l1, l2, rf1, rf2)
+        for key in ("quads", "valid", "sizes", "centroids", "is_inner",
+                    "inner_coarse", "overflow"):
+            np.testing.assert_array_equal(
+                np.asarray(got[key]), np.asarray(ref[key]), err_msg=key
+            )
+
+
 def test_refine_pallas_odd_candidate_count(rng):
     """Odd max_candidates (public DetectorConfig knob) must work: the
     batched kernel pads each frame's window list to the DMA group width."""

@@ -22,8 +22,8 @@ from profile_stages import build_frames
 
 STAGES = [
     "luma+frontend",  # 0
-    "coarse_kernel",  # 1
-    "fit+merge",      # 2
+    "coarsefit_kernel",  # 1
+    "merge",          # 2
     "bit9",           # 3
     "refine",         # 4
     "finalize",       # 5
@@ -41,7 +41,6 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
 
     from aruco3_tpu import frontend, pose as pose_mod, rectify, segment
     from aruco3_tpu.detector import _num_levels
-    from aruco3_tpu.ops.coarse_pallas import coarse_labels
     from aruco3_tpu.ops.frontend_pallas import fused_threshold_open_pool
     from aruco3_tpu.ops.refine_pallas import refine_corners_batch
 
@@ -63,10 +62,12 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
         ph0 = max(h + (h % 2), 64)
         h1 = max(ph0 // 2, 64)
         need_l1 = 2 * (((h1 - 64) // 16) * 16 + 80)
+        hc, wc = -(-h // ds), -(-w // ds)
         outs = fused_threshold_open_pool(
             grey, cfg.threshold_window, params.open_radius, ds,
             emit_packed=True, emit_level1=True,
             emit_split=th_split is not None,
+            emit_coarse=True,
             min_rows=max(need_refine, need_warp, need_l1),
         )
         if th_split is not None:
@@ -74,35 +75,27 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
         else:
             coarse, packed, level1 = outs
             near_words = None
-        acc.append(jnp.sum(coarse.astype(jnp.int32)))
+        acc.append(jnp.sum(coarse[:, :hc, :wc].astype(jnp.int32)))
         acc.append(jnp.sum(packed[:, 64:96, :256].astype(jnp.int32)))
         if near_words is not None:
             acc.append(jnp.sum(near_words[:, :8, :256]))
         if upto >= 1:
-            labels1, labels2 = coarse_labels(
-                coarse, params.bg_rounds, params.fill_rounds,
-                params.ccl_rounds,
-                inner_ccl_rounds=params.inner_ccl_rounds,
-                inner_depths=params.inner_depths,
-                inner_flood_rounds=params.inner_flood_rounds,
-                inner_fill_rounds=params.inner_fill_rounds,
-                inner=params.max_inner_candidates > 0,
-            )
-            acc.append(jnp.sum(labels1[:, 32:64, :128]))
-            acc.append(jnp.sum(labels2[:, 32:64, :128]))
-        if upto >= 2:
-            from aruco3_tpu.ops.fit_pallas import fused_fit_batch
+            from aruco3_tpu.ops.fit_pallas import fused_coarsefit_batch
 
-            fit1, fit2 = fused_fit_batch(
-                labels1, labels2, ds, params,
+            fit1, fit2, ic = fused_coarsefit_batch(
+                coarse, params, ds,
                 params.max_candidates, params.max_inner_candidates,
-                dup_skip=True,
+                pre_hw=(hc, wc), dup_skip=True,
             )
+            acc.append(jnp.sum(fit1["quads"]))
+            acc.append(jnp.sum(fit2["quads"]))
+            acc.append(jnp.sum(ic.astype(jnp.int32)))
+        if upto >= 2:
             cand = jax.vmap(
-                lambda lab, lab2, f1, f2: segment.merge_fits(
-                    lab, lab2, f1, f2, params, ds
+                lambda f1, f2, icb: segment.merge_fits(
+                    None, None, f1, f2, params, ds, inner_coarse=icb
                 )
-            )(labels1, labels2, fit1, fit2)
+            )(fit1, fit2, ic)
             acc.append(jnp.sum(cand["quads"]))
             acc.append(jnp.sum(cand["valid"].astype(jnp.int32)))
         if upto >= 4:

@@ -443,14 +443,87 @@ def check_warp():
     return e1 and e2
 
 
+def check_coarsefit():
+    """Fused coarse+fit mega-kernel vs the XLA label_planes ->
+    fused_fit_batch pipeline (itself fit_quads-verified), incl. merged
+    candidates under the production dup_skip setting and packed frame
+    widths (b=8 -> f_pack=8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aruco3_tpu import segment
+    from aruco3_tpu.ops.coarse_pallas import _round_up
+    from aruco3_tpu.ops.fit_pallas import (
+        fused_coarsefit_batch, fused_fit_batch,
+    )
+
+    p = segment.QuadParams()
+    rng = np.random.default_rng(23)
+    cases = [
+        ((8, 108, 192), 10, 0.3),   # headline grid, full frame pack
+        ((2, 108, 192), 10, 0.65),  # dense (dark-scene-like)
+        ((4, 60, 80), 8, 0.35),     # small grid, f_pack=4
+    ]
+    ring = np.zeros((2, 108, 192), bool)
+    ring[:, 20:80, 30:110] = True
+    ring[:, 28:72, 38:102] = False
+    ring[:, 36:64, 46:94] = True
+    ring[:, 44:56, 54:86] = False
+    ok = True
+    k1, k2 = p.max_candidates, p.max_inner_candidates
+    for spec in cases + [("ring", 10, None)]:
+        if spec[0] == "ring":
+            m, ds = ring, spec[1]
+        else:
+            shape, ds, dens = spec
+            m = rng.random(shape) < dens
+        c = jnp.asarray(m)
+        b, hc, wc = c.shape
+        rp = max(_round_up(hc, 8), 8)
+        cp = max(256, _round_up(wc + 1, 128))
+        pre = np.zeros((b, rp, cp), np.int32)
+        pre[:, :hc, :wc] = np.asarray(m).astype(np.int32)
+        fit1, fit2, ic = fused_coarsefit_batch(
+            jnp.asarray(pre), p, ds, k1, k2, pre_hw=(hc, wc),
+            dup_skip=True,
+        )
+        cand = jax.vmap(
+            lambda f1, f2, icb: segment.merge_fits(
+                None, None, f1, f2, p, ds, inner_coarse=icb
+            )
+        )(fit1, fit2, ic)
+        l1, l2 = jax.vmap(lambda mm: segment.label_planes(mm, p))(c)
+        rf1, rf2 = fused_fit_batch(l1, l2, ds, p, k1, k2, dup_skip=True)
+        ref = jax.vmap(
+            lambda la, lb, f1, f2: segment.merge_fits(
+                la, lb, f1, f2, p, ds
+            )
+        )(l1, l2, rf1, rf2)
+        es = {}
+        for key in ("quads", "valid", "sizes", "centroids", "is_inner",
+                    "inner_coarse", "overflow"):
+            es[key] = np.array_equal(
+                np.asarray(cand[key]), np.asarray(ref[key])
+            )
+        print(
+            f"coarsefit {tuple(c.shape)} ds={ds}: "
+            + " ".join(f"{k}={v}" for k, v in es.items()),
+            flush=True,
+        )
+        ok = ok and all(es.values())
+    return ok
+
+
 def main():
     which = sys.argv[1:] or [
-        "frontend", "coarse", "fit", "refine", "warp", "split",
+        "frontend", "coarse", "fit", "coarsefit", "refine", "warp",
+        "split",
     ]
     checks = {
         "frontend": check_frontend,
         "coarse": check_coarse,
         "fit": check_fit,
+        "coarsefit": check_coarsefit,
         "refine": check_refine,
         "warp": check_warp,
         "split": check_split,
