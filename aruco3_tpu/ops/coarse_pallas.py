@@ -329,57 +329,58 @@ def _packed_fit_tail(
     def rank_pool(lab, ranked, n_1f, kr, krp):
         t_1f = jnp.minimum(n_1f, float(kr))
         h_1f = jnp.floor((t_1f + 1.0) * 0.5)  # per-frame half split
-        t_col = col(t_1f)  # f32 columns (Mosaic can't reshape i1)
-        h_col = col(h_1f)
-        h_row = bcast_row(h_1f)
-        trips = jnp.max(h_1f).astype(jnp.int32)
-        lane_kr = jax.lax.broadcasted_iota(jnp.int32, (F, krp), 1)
-
-        def extract(lab, hit):
-            hi = seg_sum(jnp.where(hit, lin_hi, 0.0))
-            lo = seg_sum(jnp.where(hit, lin_lo, 0.0))
-            root_1f = hi * 128.0 + lo  # (1, F) f32, exact (< 2^15)
-            root_row = bcast_row(root_1f).astype(jnp.int32)
-            size_1f = seg_sum((lab == root_row).astype(f32))
-            return root_1f, size_1f
-
-        def body(r, carry):
-            rv, sv = carry
-            rf = jnp.float32(r)
-            # chain A: rank r (valid while r < h_f)
-            hit_a = ranked == r
-            ra_1f, sa_1f = extract(lab, hit_a)
-            va_col = h_col > rf
-            tgt_a = jnp.where(va_col, r, krp)
-            rv = jnp.where(lane_kr == tgt_a, col(ra_1f), rv)
-            sv = jnp.where(lane_kr == tgt_a, col(sa_1f), sv)
-            # chain B: rank r + h_f (per-frame offset; valid < t_f)
-            r2_row = h_row + rf  # (1, w_all) per-frame rank index
-            hit_b = ranked.astype(f32) == r2_row
-            rb_1f, sb_1f = extract(lab, hit_b)
-            vb_col = t_col > h_col + rf
-            tgt_b = jnp.where(
-                vb_col, (h_col + rf).astype(jnp.int32), krp
-            )
-            rv = jnp.where(lane_kr == tgt_b, col(rb_1f), rv)
-            sv = jnp.where(lane_kr == tgt_b, col(sb_1f), sv)
-            return rv, sv
-
+        st = {
+            "lab": lab,
+            "ranked": ranked,
+            "krp": krp,
+            "t_col": col(t_1f),  # f32 (Mosaic can't reshape i1)
+            "h_col": col(h_1f),
+            "h_row": bcast_row(h_1f),
+            "trips": jnp.max(h_1f).astype(jnp.int32),
+            "lane_kr": jax.lax.broadcasted_iota(jnp.int32, (F, krp), 1),
+        }
         rv = jnp.zeros((F, krp), f32)
         sv = jnp.full((F, krp), -1.0, f32)
-        rv, sv = jax.lax.fori_loop(0, trips, body, (rv, sv))
-        return rv, sv, t_1f
+        return st, rv, sv
+
+    def rank_extract(lab, hit):
+        hi = seg_sum(jnp.where(hit, lin_hi, 0.0))
+        lo = seg_sum(jnp.where(hit, lin_lo, 0.0))
+        root_1f = hi * 128.0 + lo  # (1, F) f32, exact (< 2^15)
+        root_row = bcast_row(root_1f).astype(jnp.int32)
+        size_1f = seg_sum((lab == root_row).astype(f32))
+        return root_1f, size_1f
+
+    def rank_round(st, r, rv, sv):
+        # Two interleaved chains per plane (ranks r and r + h_f); the
+        # caller interleaves both planes' rounds as well — the stage is
+        # latency-bound on serialized seg-reductions, and the chains
+        # touch disjoint lanes so values are order-independent.
+        rf = jnp.float32(r)
+        hit_a = st["ranked"] == r
+        ra_1f, sa_1f = rank_extract(st["lab"], hit_a)
+        va_col = st["h_col"] > rf
+        tgt_a = jnp.where(va_col, r, st["krp"])
+        rv = jnp.where(st["lane_kr"] == tgt_a, col(ra_1f), rv)
+        sv = jnp.where(st["lane_kr"] == tgt_a, col(sa_1f), sv)
+        r2_row = st["h_row"] + rf  # (1, w_all) per-frame rank index
+        hit_b = st["ranked"].astype(f32) == r2_row
+        rb_1f, sb_1f = rank_extract(st["lab"], hit_b)
+        vb_col = st["t_col"] > st["h_col"] + rf
+        tgt_b = jnp.where(
+            vb_col, (st["h_col"] + rf).astype(jnp.int32), st["krp"]
+        )
+        rv = jnp.where(st["lane_kr"] == tgt_b, col(rb_1f), rv)
+        sv = jnp.where(st["lane_kr"] == tgt_b, col(sb_1f), sv)
+        return rv, sv
 
     # ---- top-k-by-size selection (packed root key; see fit_pallas) ----
     p2 = 1 << max(P - 1, 1).bit_length()
     root_key = (P + 1) * p2 < 2**31
     p2log = p2.bit_length() - 1
 
-    def select(rv, sv, n_1f, k, krp):
+    def select_state(rv, sv, n_1f, k, krp):
         ns_1f = jnp.minimum(n_1f, float(k))
-        ns_col = col(ns_1f)
-        rounds = jnp.max(ns_1f).astype(jnp.int32)
-        lane128 = jax.lax.broadcasted_iota(jnp.int32, (F, 128), 1)
         if root_key:
             key0 = sv.astype(jnp.int32) * p2 + (
                 (p2 - 1) - rv.astype(jnp.int32)
@@ -387,34 +388,36 @@ def _packed_fit_tail(
         else:
             lane_kr = jax.lax.broadcasted_iota(jnp.int32, (F, krp), 1)
             key0 = sv.astype(jnp.int32) * 1024 + (1023 - lane_kr)
-
-        def body(j, carry):
-            key, sr8, ss8 = carry
-            m_col = jnp.max(key, axis=1, keepdims=True)  # (F, 1)
-            valid_col = ns_col > jnp.float32(j)
-            if root_key:
-                root_col = ((p2 - 1) - (m_col & (p2 - 1))).astype(f32)
-            else:
-                pick = key == m_col
-                root_col = jnp.sum(
-                    jnp.where(pick, rv, 0.0), axis=1, keepdims=True
-                )
-            size_col = jnp.right_shift(m_col, p2log if root_key else 10
-                                       ).astype(f32)
-            tgt = jnp.where(valid_col, j, 128)
-            sr8 = jnp.where(lane128 == tgt, root_col, sr8)
-            ss8 = jnp.where(lane128 == tgt, size_col, ss8)
-            key = jnp.where(
-                (key == m_col) & valid_col, jnp.int32(-(2**30)), key
-            )
-            return key, sr8, ss8
-
+        st = {
+            "rv": rv,
+            "ns_1f": ns_1f,
+            "ns_col": col(ns_1f),
+            "rounds": jnp.max(ns_1f).astype(jnp.int32),
+        }
         sr8 = jnp.zeros((F, 128), f32)
         ss8 = jnp.full((F, 128), -1.0, f32)
-        _, sr8, ss8 = jax.lax.fori_loop(
-            0, rounds, body, (key0, sr8, ss8)
+        return st, key0, sr8, ss8
+
+    def select_round(st, j, key, sr8, ss8):
+        m_col = jnp.max(key, axis=1, keepdims=True)  # (F, 1)
+        valid_col = st["ns_col"] > jnp.float32(j)
+        if root_key:
+            root_col = ((p2 - 1) - (m_col & (p2 - 1))).astype(f32)
+        else:
+            pick = key == m_col
+            root_col = jnp.sum(
+                jnp.where(pick, st["rv"], 0.0), axis=1, keepdims=True
+            )
+        size_col = jnp.right_shift(
+            m_col, p2log if root_key else 10
+        ).astype(f32)
+        tgt = jnp.where(valid_col, j, 128)
+        sr8 = jnp.where(lane128 == tgt, root_col, sr8)
+        ss8 = jnp.where(lane128 == tgt, size_col, ss8)
+        key = jnp.where(
+            (key == m_col) & valid_col, jnp.int32(-(2**30)), key
         )
-        return sr8, ss8, ns_1f
+        return key, sr8, ss8
 
     # ---- per-lane fit chain (packed rows; fit_quads' f32 expressions) --
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (F, 128), 1)
@@ -516,46 +519,102 @@ def _packed_fit_tail(
             out_ref[f, row0 + kk] = acc[0, f * cp : f * cp + 128]
 
     # ================= driver =================
+    # Rank + select rounds for both planes run INTERLEAVED in shared
+    # loops: each plane's rounds are serialized on their own reduction
+    # chains, but the two planes are independent, so the scheduler can
+    # overlap their latencies (measured win in the standalone fused fit
+    # kernel, PERF.md).
     ranked1, n1_1f = rank_prep(l1)
-    rv1, sv1, _t1 = rank_pool(l1, ranked1, n1_1f, kr1, krp1)
-    sr1, ss1, ns1_1f = select(rv1, sv1, n1_1f, k1, krp1)
-    ns1_row = bcast_row(ns1_1f)
-    trips1 = jnp.max(ns1_1f).astype(jnp.int32)
-
+    st1, rv1, sv1 = rank_pool(l1, ranked1, n1_1f, kr1, krp1)
     if two:
         ranked2, n2_1f = rank_prep(l2)
-        rv2, sv2, _t2 = rank_pool(l2, ranked2, n2_1f, kr2, krp2)
-        sr2, ss2, ns2_1f = select(rv2, sv2, n2_1f, k2, krp2)
+        st2, rv2, sv2 = rank_pool(l2, ranked2, n2_1f, kr2, krp2)
+
+        def rank_body(r, carry):
+            rv1, sv1, rv2, sv2 = carry
+            rv1, sv1 = rank_round(st1, r, rv1, sv1)
+            rv2, sv2 = rank_round(st2, r, rv2, sv2)
+            return rv1, sv1, rv2, sv2
+
+        rv1, sv1, rv2, sv2 = jax.lax.fori_loop(
+            0,
+            jnp.maximum(st1["trips"], st2["trips"]),
+            rank_body,
+            (rv1, sv1, rv2, sv2),
+        )
+    else:
+        rv1, sv1 = jax.lax.fori_loop(
+            0,
+            st1["trips"],
+            lambda r, c: rank_round(st1, r, *c),
+            (rv1, sv1),
+        )
+
+    sst1, key1, sr1, ss1 = select_state(rv1, sv1, n1_1f, k1, krp1)
+    if two:
+        sst2, key2, sr2, ss2 = select_state(rv2, sv2, n2_1f, k2, krp2)
+
+        def sel_body(j, carry):
+            key1, sr1, ss1, key2, sr2, ss2 = carry
+            key1, sr1, ss1 = select_round(sst1, j, key1, sr1, ss1)
+            key2, sr2, ss2 = select_round(sst2, j, key2, sr2, ss2)
+            return key1, sr1, ss1, key2, sr2, ss2
+
+        _, sr1, ss1, _, sr2, ss2 = jax.lax.fori_loop(
+            0,
+            jnp.maximum(sst1["rounds"], sst2["rounds"]),
+            sel_body,
+            (key1, sr1, ss1, key2, sr2, ss2),
+        )
+        ns2_1f = sst2["ns_1f"]
         ns2_row = bcast_row(ns2_1f)
-        trips2 = jnp.max(ns2_1f).astype(jnp.int32)
+        trips2 = sst2["rounds"]
+    else:
+        _, sr1, ss1 = jax.lax.fori_loop(
+            0,
+            sst1["rounds"],
+            lambda j, c: select_round(sst1, j, *c),
+            (key1, sr1, ss1),
+        )
+    ns1_1f = sst1["ns_1f"]
+    ns1_row = bcast_row(ns1_1f)
+    trips1 = sst1["rounds"]
 
     # Zero the whole output block once (unused lanes/rows stay zero).
     rp_out = out_ref.shape[1]
     for f in range(F):
         out_ref[f] = jnp.zeros((rp_out, 128), f32)
 
-    # ---- pass-1 fit chains ----
-    def lane1_body(kk, frac1_8):
-        r_col, s_col = fetch(sr1, ss1, kk)
+    # ---- pass-1 fit chains (two interleaved: lanes kk and kk+ha) ----
+    ha = jnp.right_shift(trips1 + 1, 1)  # ceil(trips1 / 2)
+
+    def one_chain1(kk_idx, frac1_8):
+        r_col, s_col = fetch(sr1, ss1, kk_idx)
         vals, frac_1f = chain_rows(l1, row(r_col), row(s_col))
-        valid_row = (ns1_row > jnp.float32(kk)).astype(f32)
-        write_rows(vals, valid_row, kk, 0)
-        valid_col = col(ns1_1f) > jnp.float32(kk)
-        tgt = jnp.where(valid_col, kk, 128)
+        kf = jnp.float32(kk_idx)
+        valid_row = (ns1_row > kf).astype(f32)
+        write_rows(vals, valid_row, kk_idx, 0)
+        valid_col = col(ns1_1f) > kf
+        tgt = jnp.where(valid_col, kk_idx, 128)
         return jnp.where(lane128 == tgt, col(frac_1f), frac1_8)
 
+    def lane1_body(kk, frac1_8):
+        frac1_8 = one_chain1(kk, frac1_8)
+        return one_chain1(kk + ha, frac1_8)
+
     frac1_8 = jax.lax.fori_loop(
-        0, trips1, lane1_body, jnp.zeros((F, 128), f32)
+        0, ha, lane1_body, jnp.zeros((F, 128), f32)
     )
 
-    # ---- pass-2 fit chains (twin pre-kill per merge_fits) ----
+    # ---- pass-2 fit chains (twin pre-kill per merge_fits; ADJACENT
+    # pairs so homogeneous batches skip whole trips) ----
     if two:
         if dup_skip:
             valid1v = (ss1 >= float(min_px)) & (frac1_8 >= min_cont)
 
-        def lane2_body(kk, carry):
-            r_col, s_col = fetch(sr2, ss2, kk)
-            valid_col = col(ns2_1f) > jnp.float32(kk)
+        def gate2(kk_idx):
+            r_col, s_col = fetch(sr2, ss2, kk_idx)
+            valid_col = col(ns2_1f) > jnp.float32(kk_idx)
             if dup_skip:
                 twin_col = jnp.any(
                     (sr1 == r_col) & (ss1 == s_col) & valid1v,
@@ -565,16 +624,31 @@ def _packed_fit_tail(
                 run_col = valid_col & jnp.logical_not(twin_col)
             else:
                 run_col = valid_col
-            run_any = jnp.max(run_col.astype(jnp.int32))
+            return r_col, s_col, run_col
+
+        def one_chain2(kk_idx, r_col, s_col, run_col):
+            vals, _ = chain_rows(l2, row(r_col), row(s_col))
+            run_row = bcast_row(row(run_col.astype(f32)))
+            write_rows(vals, run_row, kk_idx, kp1)
+
+        def lane2_body(kk, carry):
+            la = 2 * kk
+            lb = 2 * kk + 1
+            ra, sa, run_a = gate2(la)
+            rb, sb, run_b = gate2(lb)
+            run_any = jnp.maximum(
+                jnp.max(run_a.astype(jnp.int32)),
+                jnp.max(run_b.astype(jnp.int32)),
+            )
 
             @pl.when(run_any > 0)
             def _():
-                vals, _ = chain_rows(l2, row(r_col), row(s_col))
-                run_row = bcast_row(row(run_col.astype(f32)))
-                write_rows(vals, run_row, kk, kp1)
+                one_chain2(la, ra, sa, run_a)
+                one_chain2(lb, rb, sb, run_b)
             return carry
 
-        jax.lax.fori_loop(0, trips2, lane2_body, 0)
+        hb = jnp.right_shift(trips2 + 1, 1)
+        jax.lax.fori_loop(0, hb, lane2_body, 0)
 
     # ---- stats rows (selection results; roots remapped to cropped) ----
     def remap8(v8):
