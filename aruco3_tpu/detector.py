@@ -273,6 +273,21 @@ def detect_batch_arrays(
             ph0 = max(h + (h % 2), 64)
             h1 = max(ph0 // 2, 64)
             need_l1 = 2 * (((h1 - 64) // 16) * 16 + 80)
+            # RAW-SRC mode (production geometries): the u8 grey plane —
+            # the frontend's single biggest output — is never written.
+            # The refine kernel DMAs each RAW frame into a padded VMEM
+            # scratch itself, and warp level-0 windows DMA the raw
+            # frame with clamped bases; both consume out-of-image
+            # content only under masks/zero weights, so no padded HBM
+            # copy needs to exist.  Requires the split sideband plus
+            # clamp-friendly dims; other geometries keep the plane.
+            raw_src = (
+                th_split is not None
+                and h % 8 == 0
+                and w % 128 == 0
+                and h >= 72
+                and w >= 256
+            )
             outs = fused_threshold_open_pool(
                 grey,
                 cfg.threshold_window,
@@ -281,6 +296,7 @@ def detect_batch_arrays(
                 emit_packed=True,
                 emit_level1=True,
                 emit_split=th_split is not None,
+                emit_split_grey=not raw_src,
                 # First output = the label kernel's pre-padded coarse
                 # plane, ds-pooled + thresholded in-kernel — the
                 # frontend->coarse XLA glue (row-count plane round trip
@@ -288,18 +304,24 @@ def detect_batch_arrays(
                 emit_coarse=True,
                 min_rows=max(need_refine, need_warp, need_l1),
             )
-            if th_split is not None:
+            if raw_src:
+                coarse, near_words, level1 = outs
+                packed = grey  # consumers read the raw frame
+            elif th_split is not None:
                 coarse, packed, near_words, level1 = outs
             else:
                 coarse, packed, level1 = outs
                 near_words = None
-            # The warp kernel DMAs (72/80, 256) blocks with no bounds
-            # guard; the plane's padding must cover its deepest read.
-            assert packed.shape[1] >= need_warp
-            assert (
-                packed.shape[2]
-                >= (((max(w, 64) - 64) // 64) * 64 // 128) * 128 + 256
-            )
+            if not raw_src:
+                # The warp kernel DMAs (72/80, 256) blocks with no
+                # bounds guard; the plane's padding must cover its
+                # deepest read.
+                assert packed.shape[1] >= need_warp
+                assert (
+                    packed.shape[2]
+                    >= (((max(w, 64) - 64) // 64) * 64 // 128) * 128
+                    + 256
+                )
         else:
             black, coarse = fused_threshold_open_pool(
                 grey, cfg.threshold_window, params.open_radius, ds
@@ -389,6 +411,7 @@ def detect_batch_arrays(
             valid=cand["valid"],
             near_words=near_words,
             strip_rows=th_split or 0,
+            raw_src=raw_src,
         )
 
         def gate(q, v, sz, ov):
@@ -432,6 +455,7 @@ def detect_batch_arrays(
             src_halo=(0, 0),
             image_hw=(h, w),
             l1_plane=level1 if l1_ok else None,
+            raw_src=raw_src,
         )
 
         out = jax.vmap(

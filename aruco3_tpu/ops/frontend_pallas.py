@@ -288,7 +288,7 @@ def _sliding_sum_rows(x, width: int, n_out: int, base: int):
     static_argnames=(
         "window", "open_radius", "ds", "interpret", "emit_packed",
         "emit_grey_canvas", "emit_level1", "emit_split", "emit_coarse",
-        "min_rows", "_stop_after",
+        "emit_split_grey", "min_rows", "_stop_after",
     ),
 )
 def fused_threshold_open_pool(
@@ -302,6 +302,7 @@ def fused_threshold_open_pool(
     emit_level1: bool = False,
     emit_split: bool = False,
     emit_coarse: bool = False,
+    emit_split_grey: bool = True,
     min_rows: int | None = None,
     _stop_after: str | None = None,
 ):
@@ -520,8 +521,13 @@ def fused_threshold_open_pool(
             refs = refs[2:]
         near_ref = None
         if emit_packed:
-            # In split mode packed_ref is the u8 grey plane output.
-            if emit_split:
+            # In split mode packed_ref is the u8 grey plane output —
+            # absent entirely when emit_split_grey=False (consumers
+            # read the raw frame instead).
+            if emit_split and not emit_split_grey:
+                rowpool_ref, near_ref, *refs = refs
+                packed_ref = None
+            elif emit_split:
                 rowpool_ref, packed_ref, near_ref, *refs = refs
             else:
                 rowpool_ref, packed_ref, *refs = refs
@@ -798,7 +804,7 @@ def fused_threshold_open_pool(
         we = 2 * r + 1
         w9 = 2 * (r + ext) + 1
         lane0 = halo_c
-        if packed_ref is not None:
+        if emit_packed:
             # BIT-PACKED morphology: the mask planes are packed 32 rows
             # per int32 word (two MXU matmuls against power-of-two
             # weights, f32-exact per 16-bit half), so every erosion/
@@ -878,17 +884,20 @@ def fused_threshold_open_pool(
             )  # (th // ds, tw|twb) exact black counts per ds-row group
             gm = gmid[r2:-r2] if r2 else gmid
             if emit_split:
-                # SPLIT outputs: the u8 image-masked grey plane and the
-                # near mask still bit-packed (bit t of word row t//32 =
-                # image row strip_base + t; nearw's bit t is exactly
-                # that — see the host-code comment on usel).  Word rows
-                # >= th//32 carry the halo's view of the NEXT strip's
-                # rows (that strip writes them itself) — zeroed here.
-                packed_ref[0] = (
-                    (gm * inside_i[r2:-r2])[:, lane0 : lane0 + tw]
-                    .astype(jnp.int32)
-                    .astype(jnp.uint8)
-                )
+                # SPLIT outputs: the u8 image-masked grey plane (unless
+                # the caller reads the RAW frame downstream and dropped
+                # it — emit_split_grey=False) and the near mask still
+                # bit-packed (bit t of word row t//32 = image row
+                # strip_base + t; nearw's bit t is exactly that — see
+                # the host-code comment on usel).  Word rows >= th//32
+                # carry the halo's view of the NEXT strip's rows (that
+                # strip writes them itself) — zeroed here.
+                if packed_ref is not None:
+                    packed_ref[0] = (
+                        (gm * inside_i[r2:-r2])[:, lane0 : lane0 + tw]
+                        .astype(jnp.int32)
+                        .astype(jnp.uint8)
+                    )
                 wrow = jax.lax.broadcasted_iota(jnp.int32, (8, tw), 0)
                 near_ref[0] = jnp.where(
                     wrow < th // 32, nearw[:, lane0 : lane0 + tw], 0
@@ -964,7 +973,7 @@ def fused_threshold_open_pool(
         # --- row pooling; column pooling is a tiny XLA op outside the
         # kernel.  Packed path: the ds-hot selector matmul above already
         # produced the counts; else a sublane reshape-sum of the mask.
-        if packed_ref is None:
+        if not emit_packed:
             rowpool = (
                 central[:, lane0 : lane0 + tw]
                 .reshape(th // ds, ds, tw)
@@ -1012,13 +1021,15 @@ def fused_threshold_open_pool(
     if emit_level1 and not emit_packed:
         raise ValueError("emit_level1 requires emit_packed")
     if emit_packed:
-        out_specs = [pool_spec, tile_spec]
-        out_shapes = [
-            pool_shape,
-            jax.ShapeDtypeStruct(
-                (b, hp, wp), jnp.uint8 if emit_split else jnp.int16
-            ),
-        ]
+        out_specs = [pool_spec]
+        out_shapes = [pool_shape]
+        if not (emit_split and not emit_split_grey):
+            out_specs.append(tile_spec)
+            out_shapes.append(
+                jax.ShapeDtypeStruct(
+                    (b, hp, wp), jnp.uint8 if emit_split else jnp.int16
+                )
+            )
         if emit_split:
             # Near-mask words: one 8-row int32 block per strip (8-row
             # blocks keep sublane offsets tile-aligned; rows >= th//32
@@ -1215,6 +1226,12 @@ def fused_threshold_open_pool(
                 (0, 0, 0),
             )
     if emit_packed:
+        if emit_split and not emit_split_grey:
+            # No grey plane output: (coarse, near_words[, level1]).
+            extra = (outs[1],) + ((outs[2],) if emit_level1 else ())
+            if squeeze:
+                return (coarse[0],) + tuple(e[0] for e in extra)
+            return (coarse,) + extra
         packed = outs[1]  # int16 packed plane, or the u8 grey plane (split)
         tail = outs[3:] if emit_split else outs[2:]
         extra = ((outs[2],) if emit_split else ()) + (

@@ -40,7 +40,9 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("wn", "clamp_r", "ds", "strip_rows", "interpret"),
+    static_argnames=(
+        "wn", "clamp_r", "ds", "strip_rows", "raw_src", "interpret",
+    ),
 )
 def refine_eval(
     packed: jnp.ndarray,  # (B, Hp, Wp) int16/int32 — OR u8 grey (split)
@@ -56,6 +58,7 @@ def refine_eval(
     ds: int,
     near_words: jnp.ndarray | None = None,  # (B, 8*NS, Wp) int32 split near
     strip_rows: int = 0,  # frontend strip height (split mode only)
+    raw_src: bool = False,  # packed is the RAW (B, H, W) frame
     interpret: bool = False,
 ):
     """Refined corners for the B*K4 windows.
@@ -73,9 +76,19 @@ def refine_eval(
     bits by broadcasting whole word rows and shifting by the row iota —
     the near mask is never unpacked outside VMEM, and the two planes
     together stream ~44%% of the int16 packed plane's bytes.
+
+    RAW mode (``raw_src``, split only): ``packed`` is the RAW (B, H, W)
+    u8 frame — no padded grey plane exists in HBM at all (the frontend
+    never writes one; its biggest output dies).  The kernel DMAs each
+    frame into a larger VMEM scratch whose padding stays UNINITIALISED:
+    every window value is consumed under the in-window ``sel`` mask
+    (mean, ink, score), so pad content is irrelevant.  Aligned window
+    slices stay inside the scratch by construction (its rows/cols cover
+    the deepest aligned read for in-image windows).
     """
     b, k4 = tly.shape
     split = near_words is not None
+    assert not raw_src or split, "raw_src requires split near words"
     # Row alignment follows the plane dtype: int16 tiles are (16, 128),
     # int32 tiles (8, 128); the split-mode u8 plane uses 32 so window
     # rows share their 32-row near word group alignment.
@@ -140,11 +153,38 @@ def refine_eval(
         kind_ref, by_ref, bx_ref, ty_ref, tx_ref, wlist_ref, nv_ref,
         params_ref, inner_ref, plane_ref, *refs,
     ):
-        if split:
+        if raw_src:
+            if split:
+                near_ref, out_ref, pscr, psem = refs
+            else:
+                out_ref, pscr, psem = refs
+        elif split:
             near_ref, out_ref = refs
         else:
             (out_ref,) = refs
         i = pl.program_id(0)
+        if raw_src:
+            # RAW mode: double-buffered bulk DMA of the frame into the
+            # padded scratch (padding uninitialised — sel-masked).
+            nsteps = pl.num_programs(0)
+            slot = i % 2
+
+            def pcopy(step, sl):
+                return pltpu.make_async_copy(
+                    plane_ref.at[step],
+                    pscr.at[sl, pl.ds(0, hp), pl.ds(0, wp)],
+                    psem.at[sl],
+                )
+
+            @pl.when(i == 0)
+            def _():
+                pcopy(0, 0).start()
+
+            @pl.when(i + 1 < nsteps)
+            def _():
+                pcopy(i + 1, 1 - slot).start()
+
+            pcopy(i, slot).wait()
         # The whole per-window chain runs at 128 lanes: the slice is 256
         # lanes (window lane bases are 128-aligned, offsets reach 127)
         # but the wn <= 64 window always fits one of the two 64-offset
@@ -168,11 +208,18 @@ def refine_eval(
             bxv = bx_ref[i, j]
             hh = (tx - bxv) // 64  # 64-block of the window start: 0/1
             bxw = bxv + 64 * hh  # lane base of the 128-lane sub-block
-            win2 = plane_ref[
-                0,
-                pl.ds(pl.multiple_of(byv, align), sh),
-                pl.ds(pl.multiple_of(bxv, 128), sw),
-            ].astype(jnp.int32)
+            if raw_src:
+                win2 = pscr[
+                    slot,
+                    pl.ds(pl.multiple_of(byv, align), sh),
+                    pl.ds(pl.multiple_of(bxv, 128), sw),
+                ].astype(jnp.int32)
+            else:
+                win2 = plane_ref[
+                    0,
+                    pl.ds(pl.multiple_of(byv, align), sh),
+                    pl.ds(pl.multiple_of(bxv, 128), sw),
+                ].astype(jnp.int32)
             win = jnp.where(hh == 0, win2[:, :128], win2[:, 64:192])
             rows = rows_i + byv
             cols = cols_i + bxw
@@ -288,7 +335,15 @@ def refine_eval(
     # One frame per grid step: Pallas streams the frame's whole packed
     # plane into VMEM (double-buffered across steps), so every window is
     # an in-VMEM slice.  VMEM: 2 plane buffers + params/inner/out.
-    plane_bytes = 2 * hp * wp * packed.dtype.itemsize
+    # RAW mode DMAs the frame into a padded scratch itself (the plane
+    # rides pl.ANY), so the aligned window slices stay in bounds
+    # without any padded HBM copy existing.
+    if raw_src:
+        shp = (max(hp - wn, 0) // align) * align + sh
+        swp = (max(wp - wn, 0) // 128) * 128 + sw
+        plane_bytes = 2 * shp * swp * packed.dtype.itemsize
+    else:
+        plane_bytes = 2 * hp * wp * packed.dtype.itemsize
     in_specs = [
         pl.BlockSpec(
             (1, k4p, 128),
@@ -300,7 +355,9 @@ def refine_eval(
             lambda i, *_refs: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec(
+        pl.BlockSpec(memory_space=pl.ANY)
+        if raw_src
+        else pl.BlockSpec(
             (1, hp, wp),
             lambda i, *_refs: (i, 0, 0),
             memory_space=pltpu.VMEM,
@@ -311,17 +368,26 @@ def refine_eval(
         params, inner_plane, packed,
     ]
     if split:
-        nw8 = near_words.shape[1]
+        # The near plane keeps the FRONTEND's padded width — wider than
+        # the raw frame in raw mode; its block must cover the full
+        # array or reads at clamped lane bases leave the block.
+        nw8, nww = near_words.shape[1], near_words.shape[2]
         in_specs.append(
             pl.BlockSpec(
-                (1, nw8, wp),
+                (1, nw8, nww),
                 lambda i, *_refs: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
         operands.append(near_words)
-        plane_bytes += 2 * nw8 * wp * 4
+        plane_bytes += 2 * nw8 * nww * 4
     limit = plane_bytes + 24 * 1024 * 1024
+    scratch_shapes = []
+    if raw_src:
+        scratch_shapes = [
+            pltpu.VMEM((2, shp, swp), packed.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -335,6 +401,7 @@ def refine_eval(
                 lambda i, *_refs: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            scratch_shapes=scratch_shapes,
         ),
         out_shape=jax.ShapeDtypeStruct((b, k4p + 8, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=limit),
@@ -356,6 +423,7 @@ def refine_corners_batch(
     valid: jnp.ndarray | None = None,  # (B, K) bool lane validity
     near_words: jnp.ndarray | None = None,  # split-mode near mask words
     strip_rows: int = 0,  # frontend strip height (split mode)
+    raw_src: bool = False,  # packed is the raw (B, H, W) u8 frame
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Batched drop-in for segment.refine_corners over a frame batch.
@@ -385,7 +453,11 @@ def refine_corners_batch(
     # [align(h-wn)+sh, align128(w-wn)+sw).
     need_h = (max(h - wn, 0) // align) * align + sh
     need_w = (max(w - wn, 0) // 128) * 128 + sw
-    if packed.shape[1] >= need_h and packed.shape[2] >= need_w:
+    if raw_src:
+        # Raw frame: the kernel pads in VMEM itself (scratch DMA).
+        assert packed.shape[1] == h and packed.shape[2] == w
+        pad = packed
+    elif packed.shape[1] >= need_h and packed.shape[2] >= need_w:
         pad = packed
     else:
         if split:
@@ -422,7 +494,9 @@ def refine_corners_batch(
     valid4 = jnp.broadcast_to(valid[:, :, None], (b, k, 4))
 
     if split:
-        assert near_words.shape[2] == packed.shape[2]
+        # The kernel indexes near words with the same lane bases as the
+        # window slices — the near plane must cover the deepest read.
+        assert near_words.shape[2] >= need_w
     k4 = k * 4
     x, y, has = refine_eval(
         pad,
@@ -438,6 +512,7 @@ def refine_corners_batch(
         ds,
         near_words=near_words,
         strip_rows=strip_rows,
+        raw_src=raw_src,
         interpret=interpret,
     )
     refined = jnp.stack([x, y], axis=-1).reshape(b, k, 4, 2)

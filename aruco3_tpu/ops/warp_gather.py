@@ -219,7 +219,13 @@ def warp_gather_eval(
                     # grey in bits 0-7 (bit 8 = the refine near flag) —
                     # mask it off.
                     winu = jnp.where(
-                        half_ref[widx] == 0, bufu[:, :128], bufu[:, 64:192]
+                        half_ref[widx] == 0,
+                        bufu[:, :128],
+                        jnp.where(
+                            half_ref[widx] == 1,
+                            bufu[:, 64:192],
+                            bufu[:, 128:256],
+                        ),
                     ).astype(jnp.int32)
                     if src_i16:
                         winu = winu & 255

@@ -467,6 +467,7 @@ def warp_patches_dma(
     src_halo: tuple[int, int] = (16, 128),
     image_hw: tuple[int, int] | None = None,
     l1_plane: jnp.ndarray | None = None,  # (B, H1, W1) bf16 level-1 source
+    raw_src: bool = False,  # src is the RAW unpadded (B, H, W) frame
 ) -> jnp.ndarray:
     """Batched warp via the Pallas window-DMA kernel (ops.warp_gather).
 
@@ -574,6 +575,18 @@ def warp_patches_dma(
 
     s64 = (tx // 64) * 64
     bxl = (s64 // 128) * 128
+    if raw_src:
+        # RAW level-0 source (no padded plane exists): clamp the DMA
+        # base so the (72, 256) read stays inside the frame; the true
+        # 64-lane window still fits a 128-lane sub-block at half <= 2,
+        # and the sample coords absorb the shifted start.  Requires
+        # H >= 72, W >= 256 (the detector gates on this).
+        assert use_src and src_halo == (0, 0)
+        hl0, wl0 = image_hw
+        is0r = lvl == 0
+        bxl = jnp.where(
+            is0r, jnp.minimum(bxl, max(wl0 - 256, 0)), bxl
+        )
     if use_l1:
         # Level-1 bases clamp into the l1 plane (it can be up to 128
         # lanes narrower than an in-bounds 128-aligned base needs); the
@@ -582,13 +595,19 @@ def warp_patches_dma(
         bxl = jnp.where(
             is1, jnp.minimum(bxl, l1_plane.shape[2] - 256), bxl
         )
-    half = (s64 - bxl) // 64
-    ux_rel = uxl - s64[..., None].astype(jnp.float32)
+    # half=3 only arises from the raw-src level-0 clamp; the 64-wide
+    # window then still fits the half-2 sub-block (offset folded into
+    # the sample coords via ``start``).
+    half = jnp.minimum((s64 - bxl) // 64, 2)
+    start = bxl + 64 * half
+    ux_rel = uxl - start[..., None].astype(jnp.float32)
     if use_src:
         halo_r, halo_c = src_halo
         is0 = lvl == 0
         al0 = 16 if src.dtype == jnp.int16 else 8  # source row alignment
         by_img = (ty // al0) * al0
+        if raw_src:
+            by_img = jnp.minimum(by_img, max(((hl0 - 72) // 8) * 8, 0))
         by_can = (ty // 16) * 16  # bf16 rows align to 16
         by_rel = jnp.where(is0, by_img, by_can)
         by = by_rel + jnp.where(is0, halo_r, roff)

@@ -514,10 +514,114 @@ def check_coarsefit():
     return ok
 
 
+def check_raw():
+    """Raw-src refine/warp (no grey plane in HBM) vs the padded-plane
+    split mode, at 1080p with corners pushed to the right/bottom edges
+    so the clamped DMA bases and the half-shift folding are exercised."""
+    import jax
+    import jax.numpy as jnp
+
+    from aruco3_tpu import rectify, segment
+    from aruco3_tpu.detector import _num_levels
+    from aruco3_tpu.ops.frontend_pallas import (
+        fused_threshold_open_pool, split_strip_rows,
+    )
+    from aruco3_tpu.ops.refine_pallas import refine_corners_batch
+
+    rng = np.random.default_rng(31)
+    h, w, b, ds = 1080, 1920, 2, 10
+    th = split_strip_rows(ds)
+    frames = rng.integers(0, 256, (b, h, w), dtype=np.uint8)
+    # Solid rings, one near the bottom-right corner (clamp paths).
+    for (y0, x0, s) in ((40, 60, 300), (700, 1500, 360), (40, 1560, 340)):
+        frames[:, y0 : y0 + s, x0 : x0 + s] = 255
+        frames[:, y0 + 40 : y0 + s - 40, x0 + 40 : x0 + s - 40] = 0
+        frames[:, y0 + 80 : y0 + s - 80, x0 + 80 : x0 + s - 80] = 255
+    grey = jnp.asarray(frames)
+    p = segment.QuadParams(coarse_factor=ds)
+    wn = segment.refine_window_size(p, ds)
+    sh_r = -(-(wn + 31) // 32) * 32
+    need_refine = (max(h - wn, 0) // 32) * 32 + sh_r
+    need_warp = ((max(h, 64) - 64) // 8) * 8 + 72
+    h1 = max(h // 2, 64)
+    need_l1 = 2 * (((h1 - 64) // 16) * 16 + 80)
+    min_rows = max(need_refine, need_warp, need_l1)
+    kw = dict(
+        emit_packed=True, emit_level1=True, emit_split=True,
+        emit_coarse=True, min_rows=min_rows,
+    )
+    coarse_p, packed, nearw, level1 = fused_threshold_open_pool(
+        grey, 7, p.open_radius, ds, **kw
+    )
+    coarse_r, near_r, level1_r = fused_threshold_open_pool(
+        grey, 7, p.open_radius, ds, emit_split_grey=False, **kw
+    )
+    e0 = np.array_equal(np.asarray(coarse_p), np.asarray(coarse_r))
+    e0 &= np.array_equal(np.asarray(nearw), np.asarray(near_r))
+    e0 &= np.array_equal(np.asarray(level1), np.asarray(level1_r))
+
+    hc, wc = -(-h // ds), -(-w // ds)
+    from aruco3_tpu.ops.fit_pallas import fused_coarsefit_batch
+
+    fit1, fit2, ic = fused_coarsefit_batch(
+        coarse_p, p, ds, p.max_candidates, p.max_inner_candidates,
+        pre_hw=(hc, wc), dup_skip=True,
+    )
+    cand = jax.vmap(
+        lambda f1, f2, icb: segment.merge_fits(
+            None, None, f1, f2, p, ds, inner_coarse=icb
+        )
+    )(fit1, fit2, ic)
+    common = dict(
+        ds=ds, wn=wn, inner_coarse=cand["inner_coarse"],
+        image_hw=(h, w), valid=cand["valid"], strip_rows=th,
+    )
+    q_pl = refine_corners_batch(
+        packed, cand["quads"], cand["centroids"], cand["is_inner"],
+        near_words=nearw, **common,
+    )
+    q_raw = refine_corners_batch(
+        grey, cand["quads"], cand["centroids"], cand["is_inner"],
+        near_words=near_r, raw_src=True, **common,
+    )
+    v = np.asarray(cand["valid"])
+    e1 = np.array_equal(np.asarray(q_pl)[v], np.asarray(q_raw)[v])
+
+    s = 49
+    Hm, h_valid = rectify.homography_square_to_quad(q_pl, s)
+    nlv = _num_levels(h, w)
+    l1_ok = rectify.l1_direct_ok(
+        level1.shape[1:], rectify.pyramid_level_shapes(h, w, nlv), nlv
+    )
+    canvas, offsets, shapes = rectify.build_packed_pyramid(
+        grey, nlv, skip_level0=True, level1=level1, skip_level1=l1_ok
+    )
+    wv = cand["valid"] & h_valid
+    pat_pl = rectify.warp_patches_dma(
+        canvas, offsets, shapes, Hm, q_pl, s, valid=wv, src=packed,
+        src_halo=(0, 0), image_hw=(h, w),
+        l1_plane=level1 if l1_ok else None,
+    )
+    pat_raw = rectify.warp_patches_dma(
+        canvas, offsets, shapes, Hm, q_pl, s, valid=wv, src=grey,
+        src_halo=(0, 0), image_hw=(h, w),
+        l1_plane=level1 if l1_ok else None, raw_src=True,
+    )
+    wvn = np.asarray(wv)
+    e2 = np.array_equal(np.asarray(pat_pl)[wvn], np.asarray(pat_raw)[wvn])
+    nv = int(wvn.sum())
+    print(
+        f"raw-src 1080p: frontend={e0} refine={e1} warp={e2} "
+        f"(valid={nv})",
+        flush=True,
+    )
+    return e0 and e1 and e2 and nv >= 3 * b
+
+
 def main():
     which = sys.argv[1:] or [
         "frontend", "coarse", "fit", "coarsefit", "refine", "warp",
-        "split",
+        "split", "raw",
     ]
     checks = {
         "frontend": check_frontend,
@@ -527,6 +631,7 @@ def main():
         "refine": check_refine,
         "warp": check_warp,
         "split": check_split,
+        "raw": check_raw,
     }
     ok = True
     for name in which:
