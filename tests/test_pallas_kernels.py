@@ -14,6 +14,18 @@ from aruco3_tpu.ops.warp_pallas import warp_eval
 from aruco3_tpu.render import render_marker
 
 
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_per_test():
+    """This module compiles the package's biggest interpret-mode
+    programs (the fused coarse+fit mega-kernel); the XLA CPU compiler
+    segfaults once enough of them accumulate IN-PROCESS (see
+    conftest's module-scoped clear and _pytest_stackfix — the round-4
+    kernels outgrew both).  Tests here share almost no programs, so a
+    per-test clear costs little."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.mark.parametrize(
     "shape,ds", [((2, 123, 217), 3), ((1, 480, 640), 4), ((2, 96, 128), 2)]
 )
@@ -547,6 +559,97 @@ def test_fused_coarsefit_matches_pipeline(rng):
             np.testing.assert_array_equal(
                 np.asarray(got[key]), np.asarray(ref[key]), err_msg=key
             )
+
+
+def test_raw_src_refine_warp_match_plane_mode(rng):
+    """RAW-src mode (no padded grey plane in HBM; refine DMAs frames
+    into a padded VMEM scratch, warp level-0 clamps its bases) must
+    bit-match the padded-plane split mode on every consumed output."""
+    from aruco3_tpu import rectify
+    from aruco3_tpu.detector import _num_levels
+    from aruco3_tpu.ops.fit_pallas import fused_fit_batch
+    from aruco3_tpu.ops.frontend_pallas import (
+        fused_threshold_open_pool, split_strip_rows,
+    )
+    from aruco3_tpu.ops.refine_pallas import refine_corners_batch
+
+    h, w, b, ds = 160, 256, 2, 10
+    th = split_strip_rows(ds)
+    assert th is not None
+    frames = (rng.random((b, h, w)) * 255).astype(np.uint8)
+    frames[:, 40:120, 60:200] = 255
+    frames[:, 56:104, 76:184] = 0
+    frames[:, 72:88, 92:168] = 255
+    grey = jnp.asarray(frames)
+    p = segment.QuadParams(coarse_factor=ds)
+    wn = segment.refine_window_size(p, ds)
+    kw = dict(
+        emit_packed=True, emit_level1=True, emit_split=True,
+        emit_coarse=True, min_rows=200, interpret=True,
+    )
+    coarse_p, packed, nearw, level1 = fused_threshold_open_pool(
+        grey, 7, p.open_radius, ds, **kw
+    )
+    coarse_r, near_r, level1_r = fused_threshold_open_pool(
+        grey, 7, p.open_radius, ds, emit_split_grey=False, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(coarse_p), np.asarray(coarse_r))
+    np.testing.assert_array_equal(np.asarray(nearw), np.asarray(near_r))
+    np.testing.assert_array_equal(np.asarray(level1), np.asarray(level1_r))
+
+    hc, wc = -(-h // ds), -(-w // ds)
+    l1x, l2x = jax.vmap(lambda m: segment.label_planes(m, p))(
+        coarse_p[:, :hc, :wc] != 0
+    )
+    f1, f2 = fused_fit_batch(
+        l1x, l2x, ds, p, p.max_candidates, p.max_inner_candidates,
+        dup_skip=True, interpret=True,
+    )
+    cand = jax.vmap(
+        lambda a, bb, x, y: segment.merge_fits(a, bb, x, y, p, ds)
+    )(l1x, l2x, f1, f2)
+    assert int(np.asarray(cand["valid"]).sum()) >= 2
+
+    common = dict(
+        ds=ds, wn=wn, inner_coarse=cand["inner_coarse"],
+        image_hw=(h, w), valid=cand["valid"], strip_rows=th,
+        interpret=True,
+    )
+    q_pl = refine_corners_batch(
+        packed, cand["quads"], cand["centroids"], cand["is_inner"],
+        near_words=nearw, **common,
+    )
+    q_raw = refine_corners_batch(
+        grey, cand["quads"], cand["centroids"], cand["is_inner"],
+        near_words=near_r, raw_src=True, **common,
+    )
+    v = np.asarray(cand["valid"])
+    np.testing.assert_array_equal(np.asarray(q_pl)[v], np.asarray(q_raw)[v])
+
+    s = 49
+    Hm, h_valid = rectify.homography_square_to_quad(q_pl, s)
+    nlv = _num_levels(h, w)
+    l1_ok = rectify.l1_direct_ok(
+        level1.shape[1:], rectify.pyramid_level_shapes(h, w, nlv), nlv
+    )
+    canvas, offsets, shapes = rectify.build_packed_pyramid(
+        grey, nlv, skip_level0=True, level1=level1, skip_level1=l1_ok
+    )
+    wv = cand["valid"] & h_valid
+    pat_pl = rectify.warp_patches_dma(
+        canvas, offsets, shapes, Hm, q_pl, s, valid=wv, src=packed,
+        src_halo=(0, 0), image_hw=(h, w),
+        l1_plane=level1 if l1_ok else None, interpret=True,
+    )
+    pat_raw = rectify.warp_patches_dma(
+        canvas, offsets, shapes, Hm, q_pl, s, valid=wv, src=grey,
+        src_halo=(0, 0), image_hw=(h, w),
+        l1_plane=level1 if l1_ok else None, raw_src=True, interpret=True,
+    )
+    wvn = np.asarray(wv)
+    np.testing.assert_array_equal(
+        np.asarray(pat_pl)[wvn], np.asarray(pat_raw)[wvn]
+    )
 
 
 def test_refine_pallas_odd_candidate_count(rng):

@@ -63,20 +63,31 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
         h1 = max(ph0 // 2, 64)
         need_l1 = 2 * (((h1 - 64) // 16) * 16 + 80)
         hc, wc = -(-h // ds), -(-w // ds)
+        raw_src = (
+            th_split is not None
+            and h % 8 == 0
+            and w % 128 == 0
+            and h >= 72
+            and w >= 256
+        )
         outs = fused_threshold_open_pool(
             grey, cfg.threshold_window, params.open_radius, ds,
             emit_packed=True, emit_level1=True,
             emit_split=th_split is not None,
+            emit_split_grey=not raw_src,
             emit_coarse=True,
             min_rows=max(need_refine, need_warp, need_l1),
         )
-        if th_split is not None:
+        if raw_src:
+            coarse, near_words, level1 = outs
+            packed = grey
+        elif th_split is not None:
             coarse, packed, near_words, level1 = outs
         else:
             coarse, packed, level1 = outs
             near_words = None
         acc.append(jnp.sum(coarse[:, :hc, :wc].astype(jnp.int32)))
-        acc.append(jnp.sum(packed[:, 64:96, :256].astype(jnp.int32)))
+        acc.append(jnp.sum(level1[:, 64:96, :256].astype(jnp.float32)))
         if near_words is not None:
             acc.append(jnp.sum(near_words[:, :8, :256]))
         if upto >= 1:
@@ -103,7 +114,7 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
                 packed, cand["quads"], cand["centroids"], cand["is_inner"],
                 ds, wn, inner_coarse=cand["inner_coarse"], image_hw=(h, w),
                 valid=cand["valid"], near_words=near_words,
-                strip_rows=th_split or 0,
+                strip_rows=th_split or 0, raw_src=raw_src,
             )
             acc.append(jnp.sum(quads))
         if upto >= 5:
@@ -135,7 +146,7 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
             patches = rectify.warp_patches_dma(
                 canvas, offsets, shapes, H, quads, s, valid=valid & h_valid,
                 src=packed, src_halo=(0, 0), image_hw=(h, w),
-                l1_plane=level1 if l1_ok else None,
+                l1_plane=level1 if l1_ok else None, raw_src=raw_src,
             )
             acc.append(jnp.sum(patches))
         if upto >= 9:
