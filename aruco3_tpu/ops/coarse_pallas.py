@@ -222,15 +222,18 @@ def _packed_fit_tail(
 
         return (mm(a) + mm(b_)) + mm(c_)
 
-    def seg_max_row(x, fill):
-        """(rp, w_all) f32 -> (1, w_all): per-frame max, broadcast over
-        each frame's lanes.  Row-reduce (frame-safe), Kogge-Stone
-        suffix-max within frames, then log-broadcast from lane 0."""
-        r = jnp.max(x, axis=0, keepdims=True)
+    # Per-frame lane reductions on a (1, w_all) row: Kogge-Stone
+    # suffix scan within frames + log-broadcast from lane 0 (~40 tiny
+    # ops).  Measured NO-GO: folding lanes into sublanes with a
+    # (1, w_all) -> (w_all//128, 128) reshape (one cross-lane reduce
+    # for every frame, ~12 ops) — Mosaic rejects the shape cast
+    # ("infer-vector-layout: unsupported shape cast").
+    def _seg_row_generic(x, fill, op, red):
+        r = red(x, axis=0, keepdims=True)
         s = 1
         while s < cp:
             nxt = pltpu.roll(r, (-s) % w_all, axis=1)
-            r = jnp.maximum(r, jnp.where(cm_row + s < cp, nxt, fill))
+            r = op(r, jnp.where(cm_row + s < cp, nxt, fill))
             s *= 2
         s = 1
         while s < cp:
@@ -239,19 +242,13 @@ def _packed_fit_tail(
             s *= 2
         return r
 
+    def seg_max_row(x, fill):
+        """(rp, w_all) f32 -> (1, w_all): per-frame max, broadcast over
+        each frame's lanes (exact: max/min are order-free)."""
+        return _seg_row_generic(x, fill, jnp.maximum, jnp.max)
+
     def seg_min_row(x, fill):
-        r = jnp.min(x, axis=0, keepdims=True)
-        s = 1
-        while s < cp:
-            nxt = pltpu.roll(r, (-s) % w_all, axis=1)
-            r = jnp.minimum(r, jnp.where(cm_row + s < cp, nxt, fill))
-            s *= 2
-        s = 1
-        while s < cp:
-            prev = pltpu.roll(r, s % w_all, axis=1)
-            r = jnp.where(cm_row >= s, prev, r)
-            s *= 2
-        return r
+        return _seg_row_generic(x, fill, jnp.minimum, jnp.min)
 
     def col(x_1f):
         return jnp.reshape(x_1f, (F, 1))
