@@ -340,12 +340,13 @@ def detect_batch_arrays(
         # corner refinement runs as one natively-batched Pallas kernel
         # (per-window DMAs; vmapped dynamic_slice would lower to row
         # gathers — the dominant cost of the XLA path).
-        from .ops.coarse_pallas import coarse_fits_vmem
+        from .ops.coarse_pallas import coarse_fits_vmem, fused_fit_exact
         from .ops.refine_pallas import refine_corners_batch
 
         hc, wc = -(-h // ds), -(-w // ds)
         if (
             coarse_fits_vmem(hc, wc)
+            and fused_fit_exact(hc, wc)
             and params.max_candidates <= 128
             and params.max_inner_candidates <= 128
         ):
@@ -372,10 +373,12 @@ def detect_batch_arrays(
                 )
             )(fit1, fit2, ic)
         else:
-            # Very large coarse grids (8K+ frames at small user-set
-            # coarse factors) exceed the kernel's VMEM budget; the XLA
-            # label path is identical bit-for-bit, just slower.  The
-            # fit still runs as the lane-skipping Pallas kernels.
+            # Grids exceeding the mega-kernel's VMEM budget (8K+ frames
+            # at small user-set coarse factors) or its bf16 exactness
+            # envelope (wc > 255 / rp*cp > 32768 — e.g. portrait 1080p,
+            # or 1080p at coarse_factor <= 7) take the XLA label path,
+            # which is identical bit-for-bit, just slower.  The fit
+            # still runs as the lane-skipping Pallas kernels.
             labels1, labels2 = jax.vmap(
                 lambda c: segment.label_planes(c, params)
             )(coarse[:, :hc, :wc] != 0)

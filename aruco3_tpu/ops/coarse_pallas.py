@@ -204,11 +204,34 @@ def _packed_fit_tail(
         )  # (rp, F)
         return jnp.sum(a, axis=0, keepdims=True)  # (1, F)
 
-    def bcast_row(x):
-        """(1, F) f32 (any value) -> (1, w_all) per-frame broadcast,
-        bit-exact: three-way bf16 split (x = a+b+c exactly; 24 mantissa
-        bits covered), each chunk broadcast by a 0/1 indicator matmul,
-        re-summed in f32 (a+b exact at 16 bits, +c exact at 24)."""
+    def seg_sum_multi(integrands):
+        """[(rp, w_all)] -> [(1, F)]: C per-frame sums through ONE
+        stacked (C*rp, w_all) MXU contraction (each output row depends
+        only on its own input row — bit-identical to C separate
+        seg_sum calls), then per-chain f32 row-reduces."""
+        x = (
+            jnp.concatenate(integrands, axis=0)
+            if len(integrands) > 1
+            else integrands[0]
+        )
+        a = jax.lax.dot_general(
+            x.astype(bf), ind, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (C*rp, F)
+        return [
+            jnp.sum(a[i * rp : (i + 1) * rp], axis=0, keepdims=True)
+            for i in range(len(integrands))
+        ]
+
+    def bcast_rows(xs):
+        """[(1, F) f32 (any value)] -> [(1, w_all)] per-frame
+        broadcasts, bit-exact: three-way bf16 split (x = a+b+c exactly;
+        24 mantissa bits covered), each chunk broadcast by a 0/1
+        indicator matmul, re-summed in f32 (a+b exact at 16 bits, +c
+        exact at 24).  The C inputs ride ONE stacked (C, F) operand —
+        each output row depends only on its own input row, so batching
+        is bit-neutral, and 3 matmuls serve all C broadcasts."""
+        x = jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
         a = x.astype(bf).astype(f32)
         r1 = x - a
         b_ = r1.astype(bf).astype(f32)
@@ -218,37 +241,41 @@ def _packed_fit_tail(
             return jax.lax.dot_general(
                 t.astype(bf), indT, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
-            )  # (1, w_all)
+            )  # (C, w_all)
 
-        return (mm(a) + mm(b_)) + mm(c_)
+        out = (mm(a) + mm(b_)) + mm(c_)
+        return [out[i : i + 1] for i in range(len(xs))]
 
-    # Per-frame lane reductions on a (1, w_all) row: Kogge-Stone
-    # suffix scan within frames + log-broadcast from lane 0 (~40 tiny
-    # ops).  Measured NO-GO: folding lanes into sublanes with a
+    def bcast_row(x):
+        return bcast_rows([x])[0]
+
+    # Per-frame lane reductions on (1, w_all) rows: Kogge-Stone suffix
+    # scan within frames + log-broadcast from lane 0.  A (1, w_all) row
+    # uses one sublane of its 16 vregs, so R <= 8 independent
+    # reductions stacked into an (R, w_all) plane cost the SAME vreg
+    # issue count as one — the chain stage batches its reductions
+    # across lockstep chains (min via negation: -max(-x), exact).
+    # Measured NO-GO: folding lanes into sublanes with a
     # (1, w_all) -> (w_all//128, 128) reshape (one cross-lane reduce
     # for every frame, ~12 ops) — Mosaic rejects the shape cast
     # ("infer-vector-layout: unsupported shape cast").
-    def _seg_row_generic(x, fill, op, red):
-        r = red(x, axis=0, keepdims=True)
+    def seg_scan_max_rows(rows):
+        """[(1, w_all) f32 max-oriented rows (out-of-frame fill -inf)]
+        -> per-row per-frame max broadcast over each frame's lanes.
+        Identical op sequence to the single-row scan; stacking is
+        bit-neutral (lane ops never mix sublanes)."""
+        r = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
         s = 1
         while s < cp:
             nxt = pltpu.roll(r, (-s) % w_all, axis=1)
-            r = op(r, jnp.where(cm_row + s < cp, nxt, fill))
+            r = jnp.maximum(r, jnp.where(cm_row + s < cp, nxt, neg_inf))
             s *= 2
         s = 1
         while s < cp:
             prev = pltpu.roll(r, s % w_all, axis=1)
             r = jnp.where(cm_row >= s, prev, r)
             s *= 2
-        return r
-
-    def seg_max_row(x, fill):
-        """(rp, w_all) f32 -> (1, w_all): per-frame max, broadcast over
-        each frame's lanes (exact: max/min are order-free)."""
-        return _seg_row_generic(x, fill, jnp.maximum, jnp.max)
-
-    def seg_min_row(x, fill):
-        return _seg_row_generic(x, fill, jnp.minimum, jnp.min)
+        return [r[i : i + 1] for i in range(len(rows))]
 
     def col(x_1f):
         return jnp.reshape(x_1f, (F, 1))
@@ -425,27 +452,36 @@ def _packed_fit_tail(
         s_col = jnp.sum(jnp.where(hit, ss8, 0.0), axis=1, keepdims=True)
         return r_col, s_col
 
-    def chain_rows(lab, root_1f, size_1f):
-        """Returns the 11 per-frame value rows [(1, w_all)] of the fit
-        chain (ax..dy, frac, cenx, ceny) — fit_quads' exact f32
-        expressions evaluated per frame segment."""
-        root_row = bcast_row(root_1f).astype(jnp.int32)
-        member = lab == root_row
-        szf_1f = jnp.maximum(size_1f, 1.0)
-        s_cm = seg_sum(jnp.where(member, cm_f, 0.0))
-        s_ri = seg_sum(jnp.where(member, ri_f, 0.0))
-        # sum(cxp over member) == ds*sum(cm) + c0*size exactly (both are
-        # exact f32 computations of the same 0.5-multiple < 2^24); the
-        # passed selection size IS the member count on valid lanes.
-        size_m = jnp.maximum(size_1f, 0.0)
-        cenx_1f = (ds * s_cm + c0 * size_m) / szf_1f
-        ceny_1f = (ds * s_ri + c0 * size_m) / szf_1f
-        cenx_row = bcast_row(cenx_1f)
-        ceny_row = bcast_row(ceny_1f)
+    def chain_rows_multi(lab, roots_1f, sizes_1f):
+        """C lockstep fit chains on one label plane: returns, per
+        chain, the 11 per-frame value rows [(1, w_all)] (ax..dy, frac,
+        cenx, ceny) and frac_1f — fit_quads' exact f32 expressions
+        evaluated per frame segment.
 
-        def amax_idx(score_masked, m_row):
-            cand = jnp.where(score_masked == m_row, lin_f, pf)
-            return seg_min_row(cand, pf)
+        The C chains' segmented reductions ride stacked (<= 2C, w_all)
+        Kogge-Stone scans and their per-frame broadcasts / sums share
+        indicator matmuls — C-for-the-price-of-one on the (1, w_all)
+        issue-bound parts (each stacked row computes exactly what its
+        standalone scan computed; mins run as -max(-x), exact)."""
+        C = len(roots_1f)
+        root_rows = [
+            rr.astype(jnp.int32) for rr in bcast_rows(roots_1f)
+        ]
+        members = [lab == rr for rr in root_rows]
+        szf = [jnp.maximum(s, 1.0) for s in sizes_1f]
+        # sum(cxp over member) == ds*sum(cm) + c0*size exactly (both
+        # are exact f32 computations of the same 0.5-multiple < 2^24);
+        # the passed selection size IS the member count on valid lanes.
+        s_cmri = seg_sum_multi(
+            [jnp.where(m, cm_f, 0.0) for m in members]
+            + [jnp.where(m, ri_f, 0.0) for m in members]
+        )
+        cen_1f = []
+        for i in range(C):
+            size_m = jnp.maximum(sizes_1f[i], 0.0)
+            cen_1f.append((ds * s_cmri[i] + c0 * size_m) / szf[i])
+            cen_1f.append((ds * s_cmri[C + i] + c0 * size_m) / szf[i])
+        cen_rows = bcast_rows(cen_1f)
 
         def cx_of(i_row):
             ii = i_row.astype(jnp.int32)
@@ -455,55 +491,142 @@ def _packed_fit_tail(
             ii = i_row.astype(jnp.int32)
             return (ii // cp).astype(f32) * ds + c0
 
-        d2c = (cxp - cenx_row) ** 2 + (cyp - ceny_row) ** 2
-        s1 = jnp.where(member, d2c, neg_inf)
-        ia = amax_idx(s1, seg_max_row(s1, neg_inf))
-        ax, ay = cx_of(ia), cy_of(ia)
-        d2a = (cxp - ax) ** 2 + (cyp - ay) ** 2
-        s2 = jnp.where(member, d2a, neg_inf)
-        ic_ = amax_idx(s2, seg_max_row(s2, neg_inf))
-        qcx, qcy = cx_of(ic_), cy_of(ic_)
-        dx = qcx - ax
-        dy = qcy - ay
-        cross = (cxp - ax) * dy - (cyp - ay) * dx
-        s3 = jnp.where(member, cross, neg_inf)
-        ib = amax_idx(s3, seg_max_row(s3, neg_inf))
-        s4 = jnp.where(member, cross, pos_inf)
-        cand4 = jnp.where(s4 == seg_min_row(s4, pos_inf), lin_f, pf)
-        idd = seg_min_row(cand4, pf)
-        bx, by = cx_of(ib), cy_of(ib)
-        ddx, ddy = cx_of(idd), cy_of(idd)
+        def argmax_rows(scores):
+            """Per chain: (max score row, min-lin-of-tie-set row) — the
+            two dependent scans batched across chains.  Score planes
+            carry -inf outside members; the tie-break min runs negated
+            (values in [0, pf]: -max(-cand) == min(cand), exact)."""
+            m_rows = seg_scan_max_rows(
+                [jnp.max(s, axis=0, keepdims=True) for s in scores]
+            )
+            negmins = seg_scan_max_rows(
+                [
+                    -jnp.min(
+                        jnp.where(s == m_rows[i], lin_f, pf),
+                        axis=0,
+                        keepdims=True,
+                    )
+                    for i, s in enumerate(scores)
+                ]
+            )
+            return m_rows, [-nm for nm in negmins]
 
-        area2 = (
-            ax * by - bx * ay
-            + bx * qcy - qcx * by
-            + qcx * ddy - ddx * qcy
-            + ddx * ay - ax * ddy
+        # Farthest-from-centroid (A), then farthest-from-A (C).
+        s1s = [
+            jnp.where(
+                members[i],
+                (cxp - cen_rows[2 * i]) ** 2
+                + (cyp - cen_rows[2 * i + 1]) ** 2,
+                neg_inf,
+            )
+            for i in range(C)
+        ]
+        _, ias = argmax_rows(s1s)
+        axs = [cx_of(ia) for ia in ias]
+        ays = [cy_of(ia) for ia in ias]
+        s2s = [
+            jnp.where(
+                members[i],
+                (cxp - axs[i]) ** 2 + (cyp - ays[i]) ** 2,
+                neg_inf,
+            )
+            for i in range(C)
+        ]
+        _, ics = argmax_rows(s2s)
+        qcxs = [cx_of(ic_) for ic_ in ics]
+        qcys = [cy_of(ic_) for ic_ in ics]
+
+        # Extreme cross products (B / D): the per-chain max and min of
+        # the same cross plane are independent — one 2C-row scan for
+        # the extremes, one for their tie-break mins.
+        crosses = []
+        for i in range(C):
+            dx = qcxs[i] - axs[i]
+            dy = qcys[i] - ays[i]
+            crosses.append(
+                (cxp - axs[i]) * dy - (cyp - ays[i]) * dx
+            )
+        s3s = [
+            jnp.where(members[i], crosses[i], neg_inf) for i in range(C)
+        ]
+        s3n = [
+            jnp.where(members[i], -crosses[i], neg_inf)
+            for i in range(C)
+        ]
+        ext = seg_scan_max_rows(
+            [jnp.max(s, axis=0, keepdims=True) for s in s3s]
+            + [jnp.max(s, axis=0, keepdims=True) for s in s3n]
         )
-        sgn = jnp.where(area2 >= 0, 1.0, -1.0)
-        inside = None
-        for efx, efy, etx, ety in (
-            (ax, ay, bx, by),
-            (bx, by, qcx, qcy),
-            (qcx, qcy, ddx, ddy),
-            (ddx, ddy, ax, ay),
-        ):
-            ex = etx - efx
-            ey = ety - efy
-            elen = jnp.sqrt(ex * ex + ey * ey) + 1e-6
-            av = sgn * ex
-            bv = sgn * ey
-            c0e = bv * efx - av * efy
-            rhs = -slack_px * elen - c0e  # (1, w_all) row RHS
-            cmp = cyp * av - cxp * bv >= rhs
-            inside = cmp if inside is None else inside & cmp
-        frac_1f = seg_sum((member & inside).astype(f32)) / szf_1f
-        frac_row = bcast_row(frac_1f)
-        return (
-            [ax, ay, bx, by, qcx, qcy, ddx, ddy, frac_row, cenx_row,
-             ceny_row],
-            frac_1f,
-        )
+        cands = []
+        for i in range(C):
+            cands.append(
+                -jnp.min(
+                    jnp.where(s3s[i] == ext[i], lin_f, pf),
+                    axis=0,
+                    keepdims=True,
+                )
+            )
+        for i in range(C):
+            # min-cross tie set: s4 == min4 with s4 = +inf off-members
+            # (empty frames degenerate to lin 0, as before).
+            s4 = jnp.where(members[i], crosses[i], pos_inf)
+            cands.append(
+                -jnp.min(
+                    jnp.where(s4 == -ext[C + i], lin_f, pf),
+                    axis=0,
+                    keepdims=True,
+                )
+            )
+        bd = seg_scan_max_rows(cands)
+        ibs = [-bd[i] for i in range(C)]
+        idds = [-bd[C + i] for i in range(C)]
+
+        out = []
+        frac_ins = []
+        geoms = []
+        for i in range(C):
+            ax, ay = axs[i], ays[i]
+            qcx, qcy = qcxs[i], qcys[i]
+            bx, by = cx_of(ibs[i]), cy_of(ibs[i])
+            ddx, ddy = cx_of(idds[i]), cy_of(idds[i])
+            area2 = (
+                ax * by - bx * ay
+                + bx * qcy - qcx * by
+                + qcx * ddy - ddx * qcy
+                + ddx * ay - ax * ddy
+            )
+            sgn = jnp.where(area2 >= 0, 1.0, -1.0)
+            inside = None
+            for efx, efy, etx, ety in (
+                (ax, ay, bx, by),
+                (bx, by, qcx, qcy),
+                (qcx, qcy, ddx, ddy),
+                (ddx, ddy, ax, ay),
+            ):
+                ex = etx - efx
+                ey = ety - efy
+                elen = jnp.sqrt(ex * ex + ey * ey) + 1e-6
+                av = sgn * ex
+                bv = sgn * ey
+                c0e = bv * efx - av * efy
+                rhs = -slack_px * elen - c0e  # (1, w_all) row RHS
+                cmp = cyp * av - cxp * bv >= rhs
+                inside = cmp if inside is None else inside & cmp
+            frac_ins.append((members[i] & inside).astype(f32))
+            geoms.append((ax, ay, bx, by, qcx, qcy, ddx, ddy))
+        frac_sums = seg_sum_multi(frac_ins)
+        frac_1fs = [frac_sums[i] / szf[i] for i in range(C)]
+        frac_rows = bcast_rows(frac_1fs)
+        for i in range(C):
+            ax, ay, bx, by, qcx, qcy, ddx, ddy = geoms[i]
+            out.append(
+                (
+                    [ax, ay, bx, by, qcx, qcy, ddx, ddy, frac_rows[i],
+                     cen_rows[2 * i], cen_rows[2 * i + 1]],
+                    frac_1fs[i],
+                )
+            )
+        return out
 
     def write_rows(vals, gate_row, kk, row0):
         """Assemble the 11 values into each frame's output row (value fi
@@ -582,29 +705,39 @@ def _packed_fit_tail(
     for f in range(F):
         out_ref[f] = jnp.zeros((rp_out, 128), f32)
 
-    # ---- pass-1 fit chains (two interleaved: lanes kk and kk+ha) ----
-    ha = jnp.right_shift(trips1 + 1, 1)  # ceil(trips1 / 2)
-
-    def one_chain1(kk_idx, frac1_8):
-        r_col, s_col = fetch(sr1, ss1, kk_idx)
-        vals, frac_1f = chain_rows(l1, row(r_col), row(s_col))
-        kf = jnp.float32(kk_idx)
-        valid_row = (ns1_row > kf).astype(f32)
-        write_rows(vals, valid_row, kk_idx, 0)
-        valid_col = col(ns1_1f) > kf
-        tgt = jnp.where(valid_col, kk_idx, 128)
-        return jnp.where(lane128 == tgt, col(frac_1f), frac1_8)
+    # ---- pass-1 fit chains: FOUR lockstep chains per trip (lanes kk,
+    # kk+qa, kk+2qa, kk+3qa with qa = ceil(trips1/4)); chain_rows_multi
+    # batches the four chains' seg-reductions/broadcasts, so a trip
+    # costs little more than one chain used to.  Coverage: the four
+    # quarter segments tile [0, 4*qa) >= [0, trips1); out-of-range
+    # lanes (kk >= per-frame ns) are gated off at the write (their row
+    # index stays < kp1: 4*ceil(k/4) <= round_up(k, 8)). ----
+    qa = jnp.right_shift(trips1 + 3, 2)  # ceil(trips1 / 4)
 
     def lane1_body(kk, frac1_8):
-        frac1_8 = one_chain1(kk, frac1_8)
-        return one_chain1(kk + ha, frac1_8)
+        idxs = [kk, kk + qa, kk + 2 * qa, kk + 3 * qa]
+        rs, ss = [], []
+        for i in idxs:
+            r_col, s_col = fetch(sr1, ss1, i)
+            rs.append(row(r_col))
+            ss.append(row(s_col))
+        for i, (vals, frac_1f) in zip(
+            idxs, chain_rows_multi(l1, rs, ss)
+        ):
+            kf = jnp.float32(i)
+            valid_row = (ns1_row > kf).astype(f32)
+            write_rows(vals, valid_row, i, 0)
+            valid_col = col(ns1_1f) > kf
+            tgt = jnp.where(valid_col, i, 128)
+            frac1_8 = jnp.where(lane128 == tgt, col(frac_1f), frac1_8)
+        return frac1_8
 
     frac1_8 = jax.lax.fori_loop(
-        0, ha, lane1_body, jnp.zeros((F, 128), f32)
+        0, qa, lane1_body, jnp.zeros((F, 128), f32)
     )
 
     # ---- pass-2 fit chains (twin pre-kill per merge_fits; ADJACENT
-    # pairs so homogeneous batches skip whole trips) ----
+    # groups of four so homogeneous batches skip whole trips) ----
     if two:
         if dup_skip:
             valid1v = (ss1 >= float(min_px)) & (frac1_8 >= min_cont)
@@ -623,28 +756,30 @@ def _packed_fit_tail(
                 run_col = valid_col
             return r_col, s_col, run_col
 
-        def one_chain2(kk_idx, r_col, s_col, run_col):
-            vals, _ = chain_rows(l2, row(r_col), row(s_col))
-            run_row = bcast_row(row(run_col.astype(f32)))
-            write_rows(vals, run_row, kk_idx, kp1)
-
         def lane2_body(kk, carry):
-            la = 2 * kk
-            lb = 2 * kk + 1
-            ra, sa, run_a = gate2(la)
-            rb, sb, run_b = gate2(lb)
-            run_any = jnp.maximum(
-                jnp.max(run_a.astype(jnp.int32)),
-                jnp.max(run_b.astype(jnp.int32)),
+            idxs = [4 * kk, 4 * kk + 1, 4 * kk + 2, 4 * kk + 3]
+            gs = [gate2(i) for i in idxs]
+            run_any = jnp.max(
+                jnp.concatenate(
+                    [g[2].astype(jnp.int32) for g in gs], axis=1
+                )
             )
 
             @pl.when(run_any > 0)
             def _():
-                one_chain2(la, ra, sa, run_a)
-                one_chain2(lb, rb, sb, run_b)
+                results = chain_rows_multi(
+                    l2,
+                    [row(g[0]) for g in gs],
+                    [row(g[1]) for g in gs],
+                )
+                run_rows = bcast_rows(
+                    [row(g[2].astype(f32)) for g in gs]
+                )
+                for i, rr, (vals, _) in zip(idxs, run_rows, results):
+                    write_rows(vals, rr, i, kp1)
             return carry
 
-        hb = jnp.right_shift(trips2 + 1, 1)
+        hb = jnp.right_shift(trips2 + 3, 2)
         jax.lax.fori_loop(0, hb, lane2_body, 0)
 
     # ---- stats rows (selection results; roots remapped to cropped) ----
@@ -685,6 +820,27 @@ def _pack_fits_vmem(rp: int, cp: int, f: int) -> bool:
     under the raised 100 MB scoped-vmem limit with headroom."""
     planes = 12 + _chain_levels(rp, cp)
     return rp * (f * cp) * 4 * planes <= 64 * 1024 * 1024
+
+
+def fused_fit_exact(hc: int, wc: int) -> bool:
+    """True when the packed fit tail's bf16 MXU reductions are exact on
+    the (hc, wc) grid.
+
+    The tail contracts several integer-valued planes against 0/1
+    indicator matrices in bf16 (8 mantissa bits: integers <= 256 exact):
+      * lin_hi = lin // 128 with lin < rp*cp  ->  needs rp*cp <= 32768,
+      * cm (per-frame lane index < cp)        ->  needs cp == 256
+        (wc <= 255; cp is always >= 256 by padding),
+      * riota (< rp) and per-row root totals (<= wc) are then subsumed.
+    Grids beyond this envelope (portrait 1080p at default coarse, or
+    user coarse factors with wc > 255) silently round those integrands
+    in bf16, corrupting roots/sizes/quads — route them to the
+    label_planes + fused_fit_batch fallback instead (bit-exact there;
+    its rank prep splits wide row totals, see fit_pallas._rank_prep).
+    """
+    rp = max(_round_up(hc, 8), 8)
+    cp = max(256, _round_up(wc + 1, 128))
+    return wc <= 255 and rp <= 256 and rp * cp <= 128 * 256
 
 
 def coarse_fits_vmem(hc: int, wc: int) -> bool:

@@ -105,10 +105,27 @@ def _rank_prep(lab, hc, wc, min_px, tris=None):
         preferred_element_type=jnp.float32,
     ).astype(jnp.int32)  # inclusive lane prefix (hc, wc)
     rowtot = jnp.sum(root_bf.astype(jnp.float32), axis=1, keepdims=True)
-    rpref_ex = jax.lax.dot_general(
-        tri_row, rowtot.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)  # exclusive row prefix (hc, 1)
+    if wc <= 256:
+        # Row totals <= wc <= 256 are bf16-exact directly.
+        rpref_ex = jax.lax.dot_general(
+            tri_row, rowtot.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # exclusive row prefix (hc, 1)
+    else:
+        # Wide grids: row totals can exceed 256 and would round in
+        # bf16.  Split into 128*hi + lo halves (each <= 256 for any
+        # wc < 32768 — hi <= wc//128, lo < 128), matvec each half,
+        # recombine in f32: integer-exact.
+        hi = jnp.floor(rowtot * (1.0 / 128.0))
+        lo = rowtot - 128.0 * hi
+
+        def _mv(t):
+            return jax.lax.dot_general(
+                tri_row, t.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        rpref_ex = (128.0 * _mv(hi) + _mv(lo)).astype(jnp.int32)
     rank = pref + rpref_ex - 1
 
     # Rank indexed at roots only, -1 elsewhere: the loop body then
@@ -919,8 +936,21 @@ def fused_coarsefit_batch(
     serves all packed frames.  Returns (fit1, fit2, inner_coarse) with
     fit dicts bit-matching fused_fit_batch(label_planes(...)) and
     inner_coarse == segment._dilate3(labels2 < P) cropped to (hc, wc).
+
+    Only valid inside the packed fit tail's bf16 exactness envelope
+    (coarse_pallas.fused_fit_exact); callers must route wider/taller
+    grids to label_planes + fused_fit_batch (raises otherwise — a
+    silent bf16 rounding of the root/size reductions is never ok).
     """
-    from .coarse_pallas import coarse_labels
+    from .coarse_pallas import coarse_labels, fused_fit_exact
+
+    hc_, wc_ = pre_hw
+    if not fused_fit_exact(hc_, wc_):
+        raise ValueError(
+            f"grid ({hc_}, {wc_}) exceeds the packed fit tail's bf16 "
+            "exactness envelope (need wc <= 255 and rp*cp <= 32768); "
+            "use segment.label_planes + fused_fit_batch instead"
+        )
 
     two = k2 > 0
     fit_cfg = (

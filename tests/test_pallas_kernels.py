@@ -439,6 +439,8 @@ def test_fused_fit_matches_fit_quads(rng):
         ((40, 54), 0.6, 32, 12),   # dense: many equal-size components
         ((30, 40), 0.3, 12, 8),
         ((80, 54), 0.45, 32, 0),   # single-pass variant (k2 == 0)
+        ((40, 300), 0.35, 16, 8),  # wide: row totals can exceed 256
+                                   # (exercises _rank_prep's hi/lo split)
     ]:
         c = jnp.asarray(rng.random((3,) + shape) < density)
         l1, l2 = jax.vmap(lambda m: segment.label_planes(m, p))(c)
@@ -558,6 +560,41 @@ def test_fused_coarsefit_matches_pipeline(rng):
                     "inner_coarse", "overflow"):
             np.testing.assert_array_equal(
                 np.asarray(got[key]), np.asarray(ref[key]), err_msg=key
+            )
+
+
+def test_fused_coarsefit_bf16_envelope(rng):
+    """Grids whose packed fit tail would round its bf16 MXU integrands
+    (wc > 255 or rp*cp > 32768 — e.g. portrait 1080p at default coarse,
+    or 1080p at coarse_factor=4) must be rejected by fused_fit_exact and
+    refused by fused_coarsefit_batch; the detector routes them to the
+    bit-exact label_planes + fused_fit_batch fallback instead."""
+    from aruco3_tpu.ops.coarse_pallas import (
+        _round_up, coarse_fits_vmem, fused_fit_exact,
+    )
+    from aruco3_tpu.ops.fit_pallas import fused_coarsefit_batch
+
+    # Production landscape-1080p geometry stays on the fused path.
+    assert fused_fit_exact(108, 192)
+    assert fused_fit_exact(60, 80)
+    # Portrait 1080p at default coarse: rp*cp = 192*256 > 32768.
+    assert not fused_fit_exact(192, 108)
+    # Wide: wc > 255 (cm / row totals round in bf16).
+    assert not fused_fit_exact(64, 300)
+    # 1080p at coarse_factor=4 fits VMEM but NOT the bf16 envelope.
+    assert coarse_fits_vmem(270, 480) and not fused_fit_exact(270, 480)
+
+    p = segment.QuadParams()
+    for hc, wc in [(192, 108), (64, 300)]:
+        rp = max(_round_up(hc, 8), 8)
+        cp = max(256, _round_up(wc + 1, 128))
+        pre = np.zeros((1, rp, cp), np.int32)
+        pre[0, :hc, :wc] = (rng.random((hc, wc)) < 0.3).astype(np.int32)
+        with pytest.raises(ValueError, match="exactness envelope"):
+            fused_coarsefit_batch(
+                jnp.asarray(pre), p, 8, p.max_candidates,
+                p.max_inner_candidates, pre_hw=(hc, wc),
+                dup_skip=True, interpret=True,
             )
 
 

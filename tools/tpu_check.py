@@ -511,6 +511,53 @@ def check_coarsefit():
             flush=True,
         )
         ok = ok and all(es.values())
+
+    # Grids outside the packed fit tail's bf16 exactness envelope
+    # (tall portrait-1080p-shaped; wide wc > 255) must be refused by
+    # the mega-kernel and handled bit-exactly by the fallback path the
+    # detector routes them to (label_planes + fused_fit_batch vs the
+    # fit_quads XLA oracle — exercises _rank_prep's wide hi/lo split
+    # on real TPU).
+    from aruco3_tpu.ops.coarse_pallas import fused_fit_exact
+
+    for hc, wc, ds in [(192, 108, 10), (64, 300, 4)]:
+        if fused_fit_exact(hc, wc):
+            print(f"envelope: ({hc},{wc}) unexpectedly accepted", flush=True)
+            ok = False
+            continue
+        m = rng.random((2, hc, wc)) < 0.3
+        c = jnp.asarray(m)
+        rp = max(_round_up(hc, 8), 8)
+        cp = max(256, _round_up(wc + 1, 128))
+        pre = np.zeros((2, rp, cp), np.int32)
+        pre[:, :hc, :wc] = np.asarray(m).astype(np.int32)
+        try:
+            fused_coarsefit_batch(
+                jnp.asarray(pre), p, ds, k1, k2, pre_hw=(hc, wc),
+                dup_skip=True,
+            )
+            print(f"envelope: ({hc},{wc}) did not raise", flush=True)
+            ok = False
+        except ValueError:
+            pass
+        l1, l2 = jax.vmap(lambda mm: segment.label_planes(mm, p))(c)
+        rf1, rf2 = fused_fit_batch(l1, l2, ds, p, k1, k2)
+        es = {}
+        for got, lab, k in ((rf1, l1, k1), (rf2, l2, k2)):
+            ref = jax.vmap(
+                lambda la: segment.fit_quads(la, ds, p, k=k)
+            )(lab)
+            for key in ("valid", "sizes", "qualifying", "roots"):
+                e = np.array_equal(
+                    np.asarray(got[key]), np.asarray(ref[key])
+                )
+                es[key] = es.get(key, True) and e
+        print(
+            f"coarsefit fallback ({hc},{wc}) ds={ds}: "
+            + " ".join(f"{k}={v}" for k, v in es.items()),
+            flush=True,
+        )
+        ok = ok and all(es.values())
     return ok
 
 
