@@ -58,10 +58,13 @@ class DetectorConfig:
     max_candidates: int = 32
     max_inner_candidates: int = 12  # hole-border pass lanes (0 disables)
     coarse_factor: int | None = None  # None = auto from image size
-    ccl_rounds: int = 3
+    ccl_rounds: int = 2  # see segment.QuadParams.ccl_rounds
     refine_corners: bool = True
     warp_impl: str = "mxu"  # "mxu" (pyramid+matmul) | "gather" (oracle)
-    use_pallas: str = "auto"  # "auto" | "never" (frontend kernel selection)
+    # Kernel-path selection: "auto" picks the Pallas kernels on TPU and
+    # XLA elsewhere; "never" forces the pure-XLA oracle path; "always"
+    # forces the Pallas kernels even off-TPU (bench/exactness A/Bs).
+    use_pallas: str = "auto"  # "auto" | "never" | "always"
 
 
 @dataclass
@@ -103,6 +106,11 @@ class Detector:
         )
 
     # ---------------------------------------------------------------- jit
+    # NOTE: lru_cache on a method keys on `self`, so the cache holds a
+    # strong reference to up to 32 Detector instances (and their
+    # compiled programs).  Harmless for the intended long-lived-detector
+    # usage; in a service that churns Detector objects, reuse instances
+    # or call Detector._compiled.cache_clear() when discarding them.
     @functools.lru_cache(maxsize=32)
     def _compiled(self, height: int, width: int, channels: int):
         """Compile the batched frame pipeline for a static image shape.
@@ -446,7 +454,15 @@ def detect_batch_arrays(
         canvas, offsets, shapes = rectify.build_packed_pyramid(
             grey, nlv, skip_level0=True, level1=level1, skip_level1=l1_ok
         )
-        patches = rectify.warp_patches_dma(
+        # Decode fused into the warp kernel epilogue (the samples are
+        # already in VMEM there): Otsu + binarize + Triangle resize +
+        # cell rule run per window in-kernel, and the decode stage's
+        # XLA round trips over (B, K, S^2) sample tensors never happen.
+        # The XLA decode_patches path remains for the oracle/XLA mode
+        # and for mark sizes whose cell grid exceeds one 128-lane row.
+        mark_size = dictionary.get_mark_size()
+        fuse_mark = mark_size if mark_size * mark_size <= 128 else 0
+        warped = rectify.warp_patches_dma(
             canvas,
             offsets,
             shapes,
@@ -459,13 +475,22 @@ def detect_batch_arrays(
             image_hw=(h, w),
             l1_plane=level1 if l1_ok else None,
             raw_src=raw_src,
+            fuse_decode_mark=fuse_mark,
         )
-
-        out = jax.vmap(
-            lambda q, v, hv, p, st: _match_tail(
-                q, v, hv, p, st, dictionary, cfg
-            )
-        )(quads, valid, h_valid, patches, stats)
+        if fuse_mark:
+            patches, grids = warped
+            out = jax.vmap(
+                lambda q, v, hv, p, st, g: _match_tail(
+                    q, v, hv, p, st, dictionary, cfg, grids=g
+                )
+            )(quads, valid, h_valid, patches, stats, grids)
+        else:
+            patches = warped
+            out = jax.vmap(
+                lambda q, v, hv, p, st: _match_tail(
+                    q, v, hv, p, st, dictionary, cfg
+                )
+            )(quads, valid, h_valid, patches, stats)
     else:
 
         def tail(g, b, c):
@@ -567,9 +592,15 @@ def _match_tail(
     stats: dict,
     dictionary: ARDictionary,
     cfg: DetectorConfig,
+    grids: jnp.ndarray | None = None,
 ):
     mark_size = dictionary.get_mark_size()
-    bits, border_valid = rectify.decode_patches(patches, mark_size)
+    if grids is not None:
+        # Cell grids decoded in the warp kernel epilogue — only the
+        # rotation/border/matching tail runs here, on (K, m*m) tensors.
+        bits, border_valid = rectify.decode_grids(grids, mark_size)
+    else:
+        bits, border_valid = rectify.decode_patches(patches, mark_size)
 
     # Dictionary match across 4 rotations in one MXU matmul.
     ids_r, dists_r = dictionary.find_nearest_bits(bits)  # (K, 4) each

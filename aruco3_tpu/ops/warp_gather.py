@@ -49,7 +49,7 @@ _SHU = 72  # u8 buffer rows: 64-row window + <=7 alignment (8-aligned)
 _SW = 256  # buffer lanes: 128-lane span + <=64 alignment + pad to 128
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "decode_n"))
 def warp_gather_eval(
     canvas: jnp.ndarray,  # (B, Hc, Wc) bfloat16, Hc % 16 == 0, Wc % 128 == 0
     src: jnp.ndarray,  # (B, Hs, Ws) level-0 source: uint8 padded grey OR
@@ -64,17 +64,38 @@ def warp_gather_eval(
     valid: jnp.ndarray,  # (N,) bool — invalid windows skip their DMA
     ux: jnp.ndarray,  # (N, S2) f32 sample x relative to the 128-lane window
     uy: jnp.ndarray,  # (N, S2) f32 sample y relative to row base
+    w1: jnp.ndarray | None = None,  # (S2P, R1) f32 flattened row-resize
+    w2: jnp.ndarray | None = None,  # (R1, 128) f32 flattened col-resize
     interpret: bool = False,
+    decode_n: int = 0,  # in-image sample count for the fused decode
 ) -> jnp.ndarray:
     """Bilinear samples (N, S2): sum_xy wx[s,x] wy[s,y] window[y,x].
 
-    Invalid windows return garbage — mask downstream."""
+    Invalid windows return garbage — mask downstream.
+
+    With ``decode_n`` > 0 (and w1/w2 given), a fused DECODE epilogue
+    additionally returns a per-window binary cell grid (N, 128): Otsu
+    threshold over the first ``decode_n`` samples (imageproc otsu_level
+    semantics, integer-exact 256-bin histogram via a nibble-one-hot MXU
+    contraction), 0/255 binarization, flattened two-stage Triangle
+    resize (the host-built w1/w2 operators, rectify._decode_resize_ops)
+    and the >127 cell rule — grid lane yo*m+xo = cell (yo, xo), matching
+    rectify.decode_patches up to f32 summation-order rounding in the
+    resize.  The (N, S2) samples are still emitted (debug surface /
+    Detection.homographies); the decode's XLA round trips over them are
+    what this kills.  Reference: /root/reference/src/aruco.rs:263-293.
+    """
     n, s2 = ux.shape
     s2p = _round_up(s2, 128)
     npad = _round_up(max(n, _G), _G)
     src_i16 = src.dtype == jnp.int16
     al0 = 16 if src_i16 else 8  # source-0 row alignment follows dtype
     shu = _SH if src_i16 else _SHU
+    decode = decode_n > 0
+    if decode:
+        assert w1 is not None and w2 is not None
+        assert w1.shape[0] == s2p and w1.shape[1] == w2.shape[0]
+        assert w2.shape[1] == 128
 
     def padi(a):
         return jnp.zeros((npad,), jnp.int32).at[:n].set(a.astype(jnp.int32))
@@ -95,11 +116,17 @@ def warp_gather_eval(
 
     grid = (npad // _G,)
 
-    def kernel(
-        bidx_ref, by_ref, bx_ref, half_ref, srcsel_ref, valid_ref,
-        step_any_ref, ux_ref, uy_ref, canvas_ref, src_ref, l1_ref,
-        out_ref, scratch_bf, scratch_u8, sems_bf, sems_u8,
-    ):
+    def kernel(*refs):
+        (
+            bidx_ref, by_ref, bx_ref, half_ref, srcsel_ref, valid_ref,
+            step_any_ref, ux_ref, uy_ref, canvas_ref, src_ref, l1_ref,
+        ) = refs[:12]
+        if decode:
+            w1_ref, w2_ref, out_ref, grid_ref = refs[12:16]
+            scratch_bf, scratch_u8, sems_bf, sems_u8 = refs[16:]
+        else:
+            out_ref = refs[12]
+            scratch_bf, scratch_u8, sems_bf, sems_u8 = refs[13:]
         i = pl.program_id(0)
         nsteps = pl.num_programs(0)
 
@@ -255,29 +282,157 @@ def warp_gather_eval(
                     )
                     out_ref[g] = jnp.sum(wy * t, axis=0)
 
+            if decode:
+                # ---- fused decode epilogue (all G windows' samples are
+                # in the VMEM out block) ----
+                sm = out_ref[...]  # (G, s2p) f32
+                in_img = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, s2p), 1)
+                    < decode_n
+                )  # (1, s2p)
+                vals = jnp.clip(jnp.round(sm), 0.0, 255.0).astype(
+                    jnp.int32
+                )
+                nib16 = jax.lax.broadcasted_iota(
+                    jnp.int32, (16, s2p), 0
+                )
+                sub16 = jax.lax.broadcasted_iota(
+                    jnp.int32, (16, 16), 0
+                )
+                lane16 = jax.lax.broadcasted_iota(
+                    jnp.int32, (16, 16), 1
+                )
+                bins = (16 * sub16 + lane16).astype(jnp.float32)
+                nf = jnp.float32(decode_n)
+                level_cols = []
+                for g in range(_G):
+                    vg = vals[g : g + 1]  # (1, s2p)
+                    # 256-bin histogram = <hi one-hot, lo one-hot>
+                    # contracted over samples (0/1 entries: bf16-exact;
+                    # counts <= decode_n accumulate exactly in f32).
+                    oh_hi = (
+                        ((vg >> 4) == nib16) & in_img
+                    ).astype(jnp.float32).astype(jnp.bfloat16)
+                    oh_lo = ((vg & 15) == nib16).astype(
+                        jnp.float32
+                    ).astype(jnp.bfloat16)
+                    hist = jax.lax.dot_general(
+                        oh_hi, oh_lo, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (16, 16): hist[h, l] = #pixels valued 16h+l
+                    # Inclusive cumsums over the flattened 256 bins in
+                    # (16, 16) layout: lane Kogge-Stone + exclusive
+                    # sublane prefix of row totals.  All integer-valued
+                    # f32 (< 2^24): exact.
+                    def flatcum(x):
+                        r = x
+                        s = 1
+                        while s < 16:
+                            sh = pltpu.roll(r, s, axis=1)
+                            r = r + jnp.where(lane16 >= s, sh, 0.0)
+                            s *= 2
+                        rowtot = r[:, 15:16]
+                        inc = rowtot
+                        s = 1
+                        while s < 16:
+                            inc = inc + jnp.concatenate(
+                                [
+                                    jnp.zeros((s, 1), jnp.float32),
+                                    inc[:-s],
+                                ],
+                                axis=0,
+                            )
+                            s *= 2
+                        return r + (inc - rowtot)
+                    w_ = flatcum(hist)  # (16,16) class-0 counts W(t)
+                    m_ = flatcum(hist * bins)  # value sums M(t)
+                    mt = m_[15:16, 15:16]  # total value sum (scalar)
+                    # Between-class variance, unnormalized: sigma(t) =
+                    # (MT*W - M*n)^2 / (n^2 * W * (n-W)) — argmax equals
+                    # imageproc otsu_level's; plateau ties (W, M
+                    # unchanged across empty bins) compare exactly
+                    # equal, lowest level wins (min flattened index).
+                    den = w_ * (nf - w_)
+                    num = mt * w_ - m_ * nf
+                    f = jnp.where(den > 0.0, num * num / den, -1.0)
+                    fmax = jnp.max(f)
+                    level = jnp.min(jnp.where(f == fmax, bins, 256.0))
+                    level_cols.append(
+                        jnp.full((1, 1), 1.0, jnp.float32) * level
+                    )
+                level_col = jnp.concatenate(level_cols, axis=0)  # (G,1)
+                # Binarize (0/255, strict >), then the flattened
+                # two-stage Triangle resize for all G windows in two
+                # matmuls, then the >127 white-cell rule
+                # (reference aruco.rs:273-283).
+                binar = jnp.where(sm > level_col, 255.0, 0.0)
+                t1 = jax.lax.dot_general(
+                    binar, w1_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (G, R1)
+                red = jax.lax.dot_general(
+                    t1, w2_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (G, 128)
+                grid_ref[...] = (red > 127.0).astype(jnp.float32)
+
+    in_specs = [
+        pl.BlockSpec(
+            (_G, s2p),
+            lambda i, *_refs: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (_G, s2p),
+            lambda i, *_refs: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    out_specs = pl.BlockSpec(
+        (_G, s2p), lambda i, *_refs: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((npad, s2p), jnp.float32)
+    operands = [
+        bidx_p, by_p, bx_p, half_p, srcsel_p, valid_p, step_any, uxp, uyp,
+        canvas, src, l1,
+    ]
+    if decode:
+        r1 = w1.shape[1]
+        in_specs = in_specs + [
+            pl.BlockSpec(
+                (s2p, r1), lambda i, *_refs: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (r1, 128), lambda i, *_refs: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        out_specs = [
+            out_specs,
+            pl.BlockSpec(
+                (_G, 128), lambda i, *_refs: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((npad, 128), jnp.float32),
+        ]
+        operands = operands + [
+            w1.astype(jnp.float32), w2.astype(jnp.float32)
+        ]
+
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=7,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (_G, s2p),
-                    lambda i, *_refs: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (_G, s2p),
-                    lambda i, *_refs: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec(
-                (_G, s2p), lambda i, *_refs: (i, 0), memory_space=pltpu.VMEM
-            ),
+            in_specs=in_specs,
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((2, _G, _SH, _SW), jnp.bfloat16),
                 pltpu.VMEM((2, _G, shu, _SW), src.dtype),
@@ -285,11 +440,11 @@ def warp_gather_eval(
                 pltpu.SemaphoreType.DMA((2, _G)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((npad, s2p), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
-    )(
-        bidx_p, by_p, bx_p, half_p, srcsel_p, valid_p, step_any, uxp, uyp,
-        canvas, src, l1,
-    )
+    )(*operands)
 
+    if decode:
+        samples, grids = out
+        return samples[:n, :s2], grids[:n]
     return out[:n, :s2]

@@ -468,6 +468,9 @@ def warp_patches_dma(
     image_hw: tuple[int, int] | None = None,
     l1_plane: jnp.ndarray | None = None,  # (B, H1, W1) bf16 level-1 source
     raw_src: bool = False,  # src is the RAW unpadded (B, H, W) frame
+    fuse_decode_mark: int = 0,  # >0: fused in-kernel decode to an
+    #   (m, m) cell grid (m = the dictionary mark size); returns
+    #   (patches, grids) with grids (B, K, 128) — see decode_grids.
 ) -> jnp.ndarray:
     """Batched warp via the Pallas window-DMA kernel (ops.warp_gather).
 
@@ -631,25 +634,58 @@ def warp_patches_dma(
         valid = jnp.ones((b, k), dtype=bool)
     if l1_plane is None:
         l1_plane = jnp.zeros((b, 80, 256), jnp.bfloat16)  # dead operand
-    vals = warp_gather_eval(
-        canvas,
-        src,
-        l1_plane,
-        bidx,
-        by.reshape(n),
-        bx.reshape(n),
-        half.reshape(n),
-        srcsel.reshape(n),
-        valid.reshape(n),
-        ux_rel.reshape(n, s2),
-        uy_rel.reshape(n, s2),
-        interpret=interpret,
-    )
+    fuse = fuse_decode_mark > 0
+    if fuse:
+        # Degenerate-homography samples must read as 0 INSIDE the
+        # kernel (the XLA path zeroes them after the fact): an ux of
+        # -1e6 zeroes every bilinear weight, so the kernel's sample —
+        # and its fused decode — sees exactly the masked value.
+        ux_rel = jnp.where(bad, jnp.float32(-1e6), ux_rel)
+        w1, w2 = _decode_resize_ops(s, fuse_decode_mark)
+        out = warp_gather_eval(
+            canvas,
+            src,
+            l1_plane,
+            bidx,
+            by.reshape(n),
+            bx.reshape(n),
+            half.reshape(n),
+            srcsel.reshape(n),
+            valid.reshape(n),
+            ux_rel.reshape(n, s2),
+            uy_rel.reshape(n, s2),
+            w1=jnp.asarray(w1),
+            w2=jnp.asarray(w2),
+            interpret=interpret,
+            decode_n=s2,
+        )
+        vals, grids = out
+    else:
+        vals = warp_gather_eval(
+            canvas,
+            src,
+            l1_plane,
+            bidx,
+            by.reshape(n),
+            bx.reshape(n),
+            half.reshape(n),
+            srcsel.reshape(n),
+            valid.reshape(n),
+            ux_rel.reshape(n, s2),
+            uy_rel.reshape(n, s2),
+            interpret=interpret,
+        )
     # Invalid lanes skipped their window DMA (garbage) — zero them, like
     # degenerate-homography samples.
     keep = valid.reshape(n, 1) & ~bad.reshape(n, s2)
     vals = jnp.where(keep, vals, 0.0)
-    return vals.reshape(b, k, s, s)
+    patches = vals.reshape(b, k, s, s)
+    if fuse:
+        grids = jnp.where(
+            valid.reshape(n, 1), grids, 0.0
+        ).reshape(b, k, 128)
+        return patches, grids
+    return patches
 
 
 # --------------------------------------------------------------------------
@@ -806,6 +842,53 @@ def resize_triangle(patches: jnp.ndarray, dst: int) -> jnp.ndarray:
 # --------------------------------------------------------------------------
 # Bit extraction
 # --------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _decode_resize_ops(s: int, mark_size: int) -> tuple:
+    """Host-built flattened Triangle-resize operators for the fused
+    in-kernel decode (ops.warp_gather decode epilogue).
+
+    Samples live flattened in lanes (index y*s + x, zero-padded to a
+    128-multiple); the separable resize then factors into two matmuls:
+      W1[(y*s + x), (yo*s + x)] = L[yo, y]   (contract rows)
+      W2[(yo*s + x), (yo*m + xo)] = L[xo, x] (contract columns)
+    — each output element sums exactly the terms the XLA
+    resize_triangle einsums sum (padding rows/cols are zero).
+    """
+    m = mark_size
+    s2 = s * s
+    s2p = -(-s2 // 128) * 128
+    r1 = -(-(m * s) // 128) * 128
+    L = _triangle_resize_matrix(s, m)
+    w1 = np.zeros((s2p, r1), np.float32)
+    w2 = np.zeros((r1, 128), np.float32)
+    for yo in range(m):
+        for y in range(s):
+            ly = L[yo, y]
+            if ly == 0.0:
+                continue
+            for x in range(s):
+                w1[y * s + x, yo * s + x] = ly
+    for yo in range(m):
+        for xo in range(m):
+            for x in range(s):
+                lx = L[xo, x]
+                if lx != 0.0:
+                    w2[yo * s + x, yo * m + xo] = lx
+    return w1, w2
+
+
+def decode_grids(
+    grids: jnp.ndarray, mark_size: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused-decode tail: (K, 128) kernel cell grids (lane yo*m+xo =
+    1.0 for a white cell) -> the same (bits, valid) as decode_patches
+    (border gate, 4 CCW rotations, MSB-first read)."""
+    k = grids.shape[0]
+    m = mark_size
+    grid = grids[:, : m * m].reshape(k, m, m) > 0.5
+    return _grid_tail(grid, m)
+
+
 def decode_patches(
     patches: jnp.ndarray, mark_size: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -819,14 +902,21 @@ def decode_patches(
       valid: (K,) bool — False when any border cell is white
              (reference aruco.rs:288-292).
     """
-    k = patches.shape[0]
     levels = otsu_level(patches)  # (K,)
     binar = jnp.where(
         patches > levels[:, None, None].astype(jnp.float32), 255.0, 0.0
     )
     reduced = resize_triangle(binar, mark_size)  # (K, m, m)
     grid = reduced > 127.0  # True == white cell (reference aruco.rs:283)
+    return _grid_tail(grid, mark_size)
 
+
+def _grid_tail(
+    grid: jnp.ndarray, mark_size: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(K, m, m) bool white-cell grid -> (bits, border valid); shared by
+    the XLA and fused-kernel decode paths."""
+    k = grid.shape[0]
     border = jnp.concatenate(
         [
             grid[:, 0, :],

@@ -19,55 +19,86 @@ import numpy as np
 
 def tpu_exactness_gate() -> None:
     """Abort loudly if the Pallas kernel path diverges from the XLA
-    oracle path on a real-TPU compiled probe frame.
+    oracle path on real-TPU compiled probe frames.
 
     Interpret-mode tests can't catch Mosaic lowering bugs; this gate
     compares the full compiled pipelines (fused frontend + coarse kernel
-    + refine/warp kernels vs the pure-XLA path) on a rendered scene
-    before any number is reported.
+    + refine/warp kernels vs the pure-XLA path) on rendered scenes
+    before any number is reported.  Two probes:
+      * 320x240 — the plane-mode geometry (w % 128 != 0: padded plane
+        in HBM, XLA coarse handoff);
+      * 160x256 at coarse_factor=10 — the RAW-SRC geometry the 1080p
+        bench program actually takes (split sideband, no grey plane in
+        HBM, refine scratch DMA + clamped warp L0 bases).
+    The timed 1080p program itself is additionally checked against the
+    synthetic scene's ground-truth corners in main().
     """
     import numpy as np
 
     from aruco3_tpu import ARDictionary, Detector, DetectorConfig
+    from aruco3_tpu.ops.frontend_pallas import split_strip_rows
     from aruco3_tpu.render import render_marker
 
     d = ARDictionary.new_from_named_dict("ARUCO_DEFAULT")
-    corners = np.array([[60, 40], [250, 50], [240, 210], [50, 200]], float)
-    img = render_marker(d, 23, (320, 240), corners, noise_sigma=2.0)
-    got = Detector(DetectorConfig(use_pallas="always"), d).detect(img)
-    ref = Detector(DetectorConfig(use_pallas="never"), d).detect(img)
-    gm = {m.id: m.corners for m in got.markers}
-    rm = {m.id: m.corners for m in ref.markers}
-    if set(gm) != set(rm) or 23 not in gm:
-        print(
-            json.dumps(
-                {
-                    "error": "TPU exactness gate FAILED",
-                    "pallas_ids": sorted(gm),
-                    "xla_ids": sorted(rm),
-                    "pallas_stats": got.stats,
-                    "xla_stats": ref.stats,
-                }
-            )
-        )
-        sys.exit(1)
-    for mid in gm:
-        a = np.asarray(gm[mid], dtype=np.float64)
-        b = np.asarray(rm[mid], dtype=np.float64)
-        err = min(
-            np.abs(np.roll(a, r, axis=0) - b).max() for r in range(4)
-        )
-        if err > 2.0:
+    # The raw-src probe is only meaningful if its geometry actually
+    # takes the raw-src path — pin the preconditions loudly.
+    assert split_strip_rows(10) is not None, (
+        "raw-src probe no longer takes the split/raw path"
+    )
+    probes = [
+        (
+            (320, 240),
+            np.array([[60, 40], [250, 50], [240, 210], [50, 200]], float),
+            {},
+        ),
+        (
+            (256, 160),
+            np.array([[30, 28], [225, 36], [215, 130], [24, 122]], float),
+            {"coarse_factor": 10},
+        ),
+    ]
+    for size, corners, extra in probes:
+        img = render_marker(d, 23, size, corners, noise_sigma=2.0)
+        got = Detector(
+            DetectorConfig(use_pallas="always", **extra), d
+        ).detect(img)
+        ref = Detector(
+            DetectorConfig(use_pallas="never", **extra), d
+        ).detect(img)
+        gm = {m.id: m.corners for m in got.markers}
+        rm = {m.id: m.corners for m in ref.markers}
+        if set(gm) != set(rm) or 23 not in gm:
             print(
                 json.dumps(
                     {
-                        "error": "TPU exactness gate FAILED (corners)",
-                        "id": mid,
-                        "max_px": float(err),
+                        "error": "TPU exactness gate FAILED",
+                        "probe": size,
+                        "pallas_ids": sorted(gm),
+                        "xla_ids": sorted(rm),
+                        "pallas_stats": got.stats,
+                        "xla_stats": ref.stats,
                     }
                 )
             )
             sys.exit(1)
+        for mid in gm:
+            a = np.asarray(gm[mid], dtype=np.float64)
+            b = np.asarray(rm[mid], dtype=np.float64)
+            err = min(
+                np.abs(np.roll(a, r, axis=0) - b).max() for r in range(4)
+            )
+            if err > 2.0:
+                print(
+                    json.dumps(
+                        {
+                            "error": "TPU exactness gate FAILED (corners)",
+                            "probe": size,
+                            "id": mid,
+                            "max_px": float(err),
+                        }
+                    )
+                )
+                sys.exit(1)
 
 
 def main() -> None:
@@ -146,23 +177,42 @@ def main() -> None:
 
     step_t = jax.jit(checksum_fn)
 
-    # Realistic frames: 8 markers per 1080p frame (config 3) + noise.
+    # Realistic frames: 8 markers per 1080p frame (config 3) + noise,
+    # with ground-truth corners kept for the in-bench correctness gate.
     rng = np.random.default_rng(0)
     frame = np.full((h, w), 255, dtype=np.uint8)
+    truth = []
     for i in range(8):
-        img, _, _ = random_marker_scene(
-            dictionary,
-            int(rng.integers(0, len(dictionary))),
-            (480, 360),
-            rng=rng,
-            min_scale=0.45,
-            max_scale=0.7,
-            noise_sigma=0.0,
-        )
+        mid = int(rng.integers(0, len(dictionary)))
+        for _try in range(20):
+            img, cor, _ = random_marker_scene(
+                dictionary,
+                mid,
+                (480, 360),
+                rng=rng,
+                min_scale=0.45,
+                max_scale=0.7,
+                noise_sigma=0.0,
+            )
+            c = np.asarray(cor, dtype=np.float64)
+            # The renderer may place corners outside (or at the edge of)
+            # its canvas; such markers get clipped at paste time and the
+            # unclipped truth would not match the visible corner — only
+            # accept fully-interior placements for the corner gate.
+            if (
+                (c[:, 0] > 8).all()
+                and (c[:, 0] < 472).all()
+                and (c[:, 1] > 8).all()
+                and (c[:, 1] < 352).all()
+            ):
+                break
         y0 = (i // 4) * 520 + 40
         x0 = (i % 4) * 470 + 10
         frame[y0 : y0 + 360, x0 : x0 + 480] = np.minimum(
             frame[y0 : y0 + 360, x0 : x0 + 480], img
+        )
+        truth.append(
+            (mid, np.asarray(cor, dtype=np.float64) + [x0, y0])
         )
     frame = np.clip(
         frame.astype(np.float64) + rng.normal(0, 2.0, frame.shape), 0, 255
@@ -176,6 +226,40 @@ def main() -> None:
     # Sanity: markers must actually be found (guards against benching a
     # degenerate pipeline).
     n_found = int(np.asarray(out["marker_valid"][0]).sum())
+
+    # Correctness gate on the TIMED program itself: every ground-truth
+    # marker must be detected in frame 0 with corners within 2 px
+    # (cyclic).  This compiles nothing extra — it reads the warm-up
+    # run — and catches 1080p-only Mosaic regressions the small-probe
+    # gate can't see (the timed geometry is raw-src + frame-packed
+    # coarse+fit, which no 320x240 probe exercises).
+    valid0 = np.asarray(out["marker_valid"][0])
+    ids0 = np.asarray(out["marker_id"][0])
+    cors0 = np.asarray(out["marker_corners"][0], dtype=np.float64)
+    for mid, tc in truth:
+        errs = [
+            min(
+                np.abs(np.roll(cors0[k], r, axis=0) - tc).max()
+                for r in range(4)
+            )
+            for k in np.nonzero(valid0)[0]
+            if int(ids0[k]) == mid
+        ]
+        if not errs or min(errs) > 2.0:
+            print(
+                json.dumps(
+                    {
+                        "error": "1080p bench-scene corner gate FAILED",
+                        "id": mid,
+                        "truth": tc.tolist(),
+                        "best_err_px": (
+                            float(min(errs)) if errs else None
+                        ),
+                        "n_found_frame0": int(valid0.sum()),
+                    }
+                )
+            )
+            sys.exit(1)
 
     # Timing: force completion by fetching the final iteration's scalar
     # (the device queue is FIFO).  block_until_ready is not reliable

@@ -800,6 +800,56 @@ def test_warp_dma_matches_mxu(rng, src_l0):
     assert np.abs(got - ref).max() < 2.5
 
 
+def test_warp_dma_fused_decode_matches_xla(rng):
+    """The warp kernel's fused decode epilogue (in-VMEM Otsu + binarize
+    + flattened Triangle resize + >127 cell rule) must reproduce
+    rectify.decode_patches on the kernel's own samples: same cell grid,
+    same bits, same border validity.  Uses marker-bearing windows (the
+    decision margins of real content) plus pure-noise windows (exercise
+    Otsu plateaus/ties)."""
+    from aruco3_tpu.dictionaries import ARDictionary
+    from aruco3_tpu.render import render_marker
+
+    d = ARDictionary.new_from_named_dict("ARUCO_DEFAULT")
+    m = d.get_mark_size()
+    b, h, w, K, S = 2, 240, 320, 5, 49
+    img0 = render_marker(
+        d, 9,
+        (w, h),
+        np.array([[90, 70], [210, 80], [205, 190], [85, 185]], float),
+        noise_sigma=2.0,
+    )
+    img1 = (rng.random((h, w)) * 255).astype(np.uint8)
+    grey = jnp.asarray(np.stack([np.asarray(img0), img1]))
+    c = rng.uniform(80, 220, size=(b, K, 1, 2))
+    half = rng.uniform(15, 60, size=(b, K, 1, 1))
+    base = np.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], float)
+    quads = (c + half * base).astype(np.float32)
+    quads[0, 0] = np.array(
+        [[90, 70], [210, 80], [205, 190], [85, 185]], np.float32
+    )
+    quads = jnp.asarray(quads)
+    levels = max(1, int(math.ceil(math.log2(max(h, w) / 60.0))) + 1)
+    H, _ = rectify.homography_square_to_quad(quads, S)
+    canvas, offsets, shapes = rectify.build_packed_pyramid(grey, levels)
+    patches, grids = rectify.warp_patches_dma(
+        canvas, offsets, shapes, H, quads, S, interpret=True,
+        fuse_decode_mark=m,
+    )
+    gbits, gvalid = jax.vmap(
+        lambda g: rectify.decode_grids(g, m)
+    )(grids)
+    rbits, rvalid = jax.vmap(
+        lambda p: rectify.decode_patches(p, m)
+    )(patches)
+    np.testing.assert_array_equal(np.asarray(gvalid), np.asarray(rvalid))
+    np.testing.assert_array_equal(np.asarray(gbits), np.asarray(rbits))
+    # The marker window must actually decode (guards against a
+    # trivially-all-black grid making the comparison vacuous).
+    ids_r, _ = d.find_nearest_bits(np.asarray(gbits[0, 0]))
+    assert 9 in np.asarray(ids_r)
+
+
 def test_warp_dma_l1_direct(rng):
     """Routing level-1 windows straight to the frontend's emitted level-1
     plane (warp kernel source 2, canvas starting at level 2) must be

@@ -118,3 +118,23 @@ def test_recall_parity_vs_reference_pipeline():
     # small per-family counts (the 0.99 floor binds on the total).
     for kind, fam in s["per_family"].items():
         assert fam["parity"] >= 0.95, (kind, s)
+
+
+def test_recall_parity_1080p_bench_regime():
+    """Bench-regime parity gate: 1080p ARUCO_MIP_36H12 — the geometry
+    the headline number is measured on (raw-src frontend, frame-packed
+    coarse+fit).  The 320x240 gate above never touches that code path;
+    a 1080p-only recall regression (e.g. from ccl_rounds / inner_depths
+    changes) must fail CI, not wait for a manual parity_report run.
+    20 seeded scenes (~25+ markers): at this count the 0.99 floor means
+    zero misses, matching the measured 1.0 parity (BASELINE.md)."""
+    n = int(os.environ.get("ARUCO3_PARITY_1080P_SCENES", "20"))
+    res = run_parity(
+        dictionary_name="ARUCO_MIP_36H12",
+        n_scenes=n,
+        image_size=(1920, 1080),
+        seed=5,
+    )
+    s = res.summary()
+    assert res.oracle_found >= 0.7 * res.n_markers, s  # oracle sane
+    assert res.parity >= 0.99, s

@@ -438,9 +438,45 @@ def check_warp():
         ]
     )
     e2 = bool(np.abs(bb - ref).max() < 2.5)
-    print(f"warp l1-direct==canvas: {e1}; vs MXU oracle<2.5: {e2}",
-          flush=True)
-    return e1 and e2
+
+    # Fused in-kernel decode vs the XLA decode of the SAME kernel's
+    # samples: bits and border validity must agree on real TPU (marker
+    # content + noise windows; the Mosaic f32 resize matmuls and the
+    # integer-exact Otsu are the risk surface here).
+    from aruco3_tpu.dictionaries import ARDictionary
+    from aruco3_tpu.render import render_marker
+
+    import jax
+
+    d = ARDictionary.new_from_named_dict("ARUCO_DEFAULT")
+    m = d.get_mark_size()
+    mk = np.array([[150, 120], [420, 140], [400, 390], [130, 370]], float)
+    img0 = render_marker(d, 9, (w, h), mk, noise_sigma=2.0)
+    grey2 = jnp.asarray(
+        np.stack([np.asarray(img0), np.asarray(grey[1])])
+    )
+    quads2 = np.asarray(quads).copy()
+    quads2[0, 0] = mk.astype(np.float32)
+    quads2 = jnp.asarray(quads2)
+    H2, _ = rectify.homography_square_to_quad(quads2, S)
+    c2, o2, s2_ = rectify.build_packed_pyramid(grey2, levels)
+    patches, grids = rectify.warp_patches_dma(
+        c2, o2, s2_, H2, quads2, S, fuse_decode_mark=m
+    )
+    gbits, gvalid = jax.vmap(lambda g: rectify.decode_grids(g, m))(grids)
+    rbits, rvalid = jax.vmap(
+        lambda p: rectify.decode_patches(p, m)
+    )(patches)
+    e3 = np.array_equal(np.asarray(gbits), np.asarray(rbits))
+    e3 = e3 and np.array_equal(np.asarray(gvalid), np.asarray(rvalid))
+    ids_r, _ = d.find_nearest_bits(np.asarray(gbits[0, 0]))
+    e3 = e3 and 9 in np.asarray(ids_r)
+    print(
+        f"warp l1-direct==canvas: {e1}; vs MXU oracle<2.5: {e2}; "
+        f"fused decode==XLA: {e3}",
+        flush=True,
+    )
+    return e1 and e2 and e3
 
 
 def check_coarsefit():
