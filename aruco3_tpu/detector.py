@@ -58,7 +58,7 @@ class DetectorConfig:
     max_candidates: int = 32
     max_inner_candidates: int = 12  # hole-border pass lanes (0 disables)
     coarse_factor: int | None = None  # None = auto from image size
-    ccl_rounds: int = 2  # see segment.QuadParams.ccl_rounds
+    ccl_rounds: int = 3  # see segment.QuadParams.ccl_rounds
     refine_corners: bool = True
     warp_impl: str = "mxu"  # "mxu" (pyramid+matmul) | "gather" (oracle)
     # Kernel-path selection: "auto" picks the Pallas kernels on TPU and

@@ -303,8 +303,60 @@ def warp_gather_eval(
                     jnp.int32, (16, 16), 1
                 )
                 bins = (16 * sub16 + lane16).astype(jnp.float32)
+                # Cumsum triangles: the flattened-256-bin prefix runs as
+                # tiny matmuls (inclusive lane prefix, exclusive sublane
+                # prefix of row totals) — free of the 16-lane rolls /
+                # (s, 1) sublane-shift concats Mosaic can't lower.
+                # EXACTNESS: Mosaic's f32 matmul decomposes into bf16
+                # passes that ROUND >8-bit integer operands (measured:
+                # Otsu levels corrupted on real TPU while interpret mode
+                # passed), so every operand is explicitly split into
+                # <128 chunks (bf16-exact) against 0/1 bf16 triangles
+                # with f32 accumulation — integer-exact by construction.
+                tri16 = (lane16 < sub16).astype(jnp.float32).astype(
+                    jnp.bfloat16
+                )
+                t_inc = (sub16 <= lane16).astype(jnp.float32).astype(
+                    jnp.bfloat16
+                )
+
+                def mv_exact(col):
+                    # tri16 @ col for integer-valued col < 2^14.
+                    hi = jnp.floor(col * (1.0 / 128.0))
+                    lo = col - hi * 128.0
+
+                    def mv(c):
+                        return jax.lax.dot_general(
+                            tri16, c.astype(jnp.bfloat16),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+
+                    return 128.0 * mv(hi) + mv(lo)
+
+                def cum_small(x):
+                    # Flattened inclusive prefix for x (16,16) ints<128.
+                    r = jax.lax.dot_general(
+                        x.astype(jnp.bfloat16), t_inc,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    return r + mv_exact(r[:, 15:16])
+
+                def flatcum_exact(x, chunks):
+                    out = jnp.zeros((16, 16), jnp.float32)
+                    rem = x
+                    scale = 1.0
+                    for _ in range(chunks):
+                        hi = jnp.floor(rem * (1.0 / 128.0))
+                        lo = rem - hi * 128.0
+                        out = out + scale * cum_small(lo)
+                        rem = hi
+                        scale = scale * 128.0
+                    return out
                 nf = jnp.float32(decode_n)
-                level_cols = []
+                subg = jax.lax.broadcasted_iota(jnp.int32, (_G, 1), 0)
+                level_col = jnp.zeros((_G, 1), jnp.float32)
                 for g in range(_G):
                     vg = vals[g : g + 1]  # (1, s2p)
                     # 256-bin histogram = <hi one-hot, lo one-hot>
@@ -320,33 +372,15 @@ def warp_gather_eval(
                         oh_hi, oh_lo, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # (16, 16): hist[h, l] = #pixels valued 16h+l
-                    # Inclusive cumsums over the flattened 256 bins in
-                    # (16, 16) layout: lane Kogge-Stone + exclusive
-                    # sublane prefix of row totals.  All integer-valued
-                    # f32 (< 2^24): exact.
-                    def flatcum(x):
-                        r = x
-                        s = 1
-                        while s < 16:
-                            sh = pltpu.roll(r, s, axis=1)
-                            r = r + jnp.where(lane16 >= s, sh, 0.0)
-                            s *= 2
-                        rowtot = r[:, 15:16]
-                        inc = rowtot
-                        s = 1
-                        while s < 16:
-                            inc = inc + jnp.concatenate(
-                                [
-                                    jnp.zeros((s, 1), jnp.float32),
-                                    inc[:-s],
-                                ],
-                                axis=0,
-                            )
-                            s *= 2
-                        return r + (inc - rowtot)
-                    w_ = flatcum(hist)  # (16,16) class-0 counts W(t)
-                    m_ = flatcum(hist * bins)  # value sums M(t)
-                    mt = m_[15:16, 15:16]  # total value sum (scalar)
+                    # Inclusive cumsums over the flattened 256 bins:
+                    # exact chunked matmuls (hist < 2^12: 2 chunks;
+                    # hist*bins < 2^20: 3 chunks).
+                    w_ = flatcum_exact(hist, 2)  # class-0 counts W(t)
+                    m_ = flatcum_exact(hist * bins, 3)  # value sums
+                    # Total value sum as a 0-d reduce (a (1,1) slice of
+                    # m_ would need an offset scalar->2D broadcast,
+                    # unsupported in Mosaic); exact: integer < 2^24.
+                    mt = jnp.sum(hist * bins)
                     # Between-class variance, unnormalized: sigma(t) =
                     # (MT*W - M*n)^2 / (n^2 * W * (n-W)) — argmax equals
                     # imageproc otsu_level's; plateau ties (W, M
@@ -357,24 +391,54 @@ def warp_gather_eval(
                     f = jnp.where(den > 0.0, num * num / den, -1.0)
                     fmax = jnp.max(f)
                     level = jnp.min(jnp.where(f == fmax, bins, 256.0))
-                    level_cols.append(
-                        jnp.full((1, 1), 1.0, jnp.float32) * level
-                    )
-                level_col = jnp.concatenate(level_cols, axis=0)  # (G,1)
+                    level_col = jnp.where(subg == g, level, level_col)
                 # Binarize (0/255, strict >), then the flattened
                 # two-stage Triangle resize for all G windows in two
                 # matmuls, then the >127 white-cell rule
                 # (reference aruco.rs:273-283).
                 binar = jnp.where(sm > level_col, 255.0, 0.0)
-                t1 = jax.lax.dot_general(
-                    binar, w1_ref[...], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (G, R1)
-                red = jax.lax.dot_general(
-                    t1, w2_ref[...], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+
+                def dotf(a, bb):
+                    return jax.lax.dot_general(
+                        a, bb, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                def split_bf(x):
+                    h_ = x.astype(jnp.bfloat16)
+                    return h_, (x - h_.astype(jnp.float32)).astype(
+                        jnp.bfloat16
+                    )
+
+                # Controlled-precision resize (don't trust Mosaic's f32
+                # matmul default — see the Otsu note above): stage 1 is
+                # bf16-EXACT on the {0, 255} binar side, two passes
+                # cover 16 weight mantissa bits; stage 2 splits both
+                # sides (4 passes, ~f32-faithful like XLA HIGHEST).
+                b_bf = binar.astype(jnp.bfloat16)
+                w1h, w1l = split_bf(w1_ref[...])
+                t1 = dotf(b_bf, w1h) + dotf(b_bf, w1l)  # (G, R1)
+                t1h, t1l = split_bf(t1)
+                w2h, w2l = split_bf(w2_ref[...])
+                red = (
+                    (dotf(t1h, w2h) + dotf(t1h, w2l))
+                    + (dotf(t1l, w2h) + dotf(t1l, w2l))
                 )  # (G, 128)
-                grid_ref[...] = (red > 127.0).astype(jnp.float32)
+                # Lane 127 carries the window's Otsu level (m*m <= 121
+                # cell lanes never reach it): near-ties on flat noise
+                # histograms can resolve differently than the XLA
+                # otsu_level under compiler fusion (FMA) — emitting the
+                # level lets checks verify functional equivalence given
+                # the picked level (cf. the fit kernel's tie-equivalent
+                # corner semantics).
+                lane_g = jax.lax.broadcasted_iota(
+                    jnp.int32, (_G, 128), 1
+                )
+                grid_ref[...] = jnp.where(
+                    lane_g == 127,
+                    level_col,
+                    (red > 127.0).astype(jnp.float32),
+                )
 
     in_specs = [
         pl.BlockSpec(

@@ -776,15 +776,25 @@ def otsu_level(patches: jnp.ndarray) -> jnp.ndarray:
         "knh,knl->khl", hi, lo, preferred_element_type=jnp.float32
     ).reshape(k, 256)
 
-    p = hist / float(n)
+    # INTEGER-EXACT formulation, kept expression-identical to the warp
+    # kernel's fused-decode epilogue (ops.warp_gather): W (class-0
+    # counts) and M (class-0 value sums) are exact integers in f32
+    # (cumsums of integers < 2^24 are associativity-independent), and
+    # the unnormalized between-class score
+    #   f(t) = (MT*W - M*n)^2 / (W*(n - W))  ==  n^2 * sigma_b^2(t)
+    # shares its argmax with imageproc's sigma_b^2.  Evaluating the
+    # SAME expression from the SAME exact integers on both paths makes
+    # flat-histogram near-ties (noise windows) resolve identically —
+    # the normalized-float version diverged from the kernel on ~1e-7
+    # relative rounding and flipped levels on noise plateaus.
     binsf = jnp.arange(256, dtype=jnp.float32)
-    omega = jnp.cumsum(p, axis=-1)  # class 0 = values <= t
-    mu = jnp.cumsum(p * binsf, axis=-1)
-    mu_total = mu[:, -1:]
-    # Between-class variance sigma_b^2(t) = (muT*w0 - mu0)^2 / (w0*(1-w0))
-    num = (mu_total * omega - mu) ** 2
-    den = omega * (1.0 - omega)
-    sigma = jnp.where(den > 0.0, num / jnp.maximum(den, 1e-12), -1.0)
+    nf = jnp.float32(n)
+    w_ = jnp.cumsum(hist, axis=-1)  # class 0 = values <= t
+    m_ = jnp.cumsum(hist * binsf, axis=-1)
+    mt = m_[:, -1:]
+    den = w_ * (nf - w_)
+    num = mt * w_ - m_ * nf
+    sigma = jnp.where(den > 0.0, (num * num) / den, -1.0)
     return jnp.argmax(sigma, axis=-1).astype(jnp.int32)
 
 

@@ -50,7 +50,11 @@ class QuadParams:
     coarse_factor: int = 8  # downsample factor for the CCL grid
     ccl_rounds: int = 3  # label scan rounds (solid blobs converge in 2-3;
     #   markers label on HOLE-FILLED planes in both passes, so 3 carries a
-    #   round of margin — parity re-measured at 3, see BASELINE.md)
+    #   round of margin.  MEASURED round 5: ccl_rounds=2 keeps 320x240
+    #   parity at 1.0 but drops the 150-scene 1080p ARUCO_MIP_36H12
+    #   parity 0.9883 -> 0.9766 (fragmented components at production
+    #   coarse factors need the third round) — the ~0.6 ms/batch it
+    #   would save is not worth the recall; keep 3.)
     fill_rounds: int = 5  # border-reachability flood rounds for hole fill
     min_component_px: int = 3  # in coarse pixels
     containment_slack: float = 1.5  # in coarse cells

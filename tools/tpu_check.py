@@ -463,14 +463,63 @@ def check_warp():
     patches, grids = rectify.warp_patches_dma(
         c2, o2, s2_, H2, quads2, S, fuse_decode_mark=m
     )
+    # Per-window comparison with tie-equivalent Otsu semantics: the
+    # kernel emits its level in grid lane 127.  Where the kernel and
+    # XLA levels agree, bits must be identical; where they differ
+    # (flat noise histograms — compiler-fusion rounding flips
+    # near-ties), (a) the XLA decode re-run AT the kernel's level must
+    # reproduce the kernel's grid exactly (functional equivalence given
+    # the level) and (b) the two levels' f64 between-class variances
+    # must be tie-close (a genuinely wrong level fails loudly).
+    pf = np.asarray(patches).reshape(-1, S, S)
+    gg = np.asarray(grids).reshape(-1, 128)
+    lev_k = gg[:, 127].astype(np.int64)
+    lev_x = np.asarray(rectify.otsu_level(jnp.asarray(pf)))
+    Lr = rectify._triangle_resize_matrix(S, m)
+    e3 = True
+    n_tie = 0
+    for kk in range(pf.shape[0]):
+        grid_k = gg[kk, : m * m].reshape(m, m) > 0.5
+        binar = np.where(
+            pf[kk] > float(lev_k[kk]), 255.0, 0.0
+        ).astype(np.float32)
+        red = np.asarray(
+            rectify.resize_triangle(
+                jnp.asarray(binar[None]), m
+            )
+        )[0]
+        if not np.array_equal(red > 127.0, grid_k):
+            print(f"fused decode: window {kk} grid != XLA@kernel-level",
+                  flush=True)
+            e3 = False
+        if int(lev_k[kk]) != int(lev_x[kk]):
+            n_tie += 1
+            vals = np.clip(np.round(pf[kk]), 0, 255).astype(np.int64)
+            hist = np.bincount(vals.ravel(), minlength=256).astype(
+                np.float64
+            )
+            p_ = hist / hist.sum()
+            bins = np.arange(256, dtype=np.float64)
+            om = p_.cumsum()
+            mu = (p_ * bins).cumsum()
+            den = om * (1.0 - om)
+            sig = np.where(
+                den > 0, (mu[-1] * om - mu) ** 2 / np.maximum(den, 1e-300),
+                -1.0,
+            )
+            gap = (sig.max() - sig[lev_k[kk]]) / max(sig.max(), 1e-300)
+            if gap > 1e-5:
+                print(
+                    f"fused decode: window {kk} level {lev_k[kk]} not "
+                    f"tie-close to XLA {lev_x[kk]} (rel gap {gap:.2e})",
+                    flush=True,
+                )
+                e3 = False
     gbits, gvalid = jax.vmap(lambda g: rectify.decode_grids(g, m))(grids)
-    rbits, rvalid = jax.vmap(
-        lambda p: rectify.decode_patches(p, m)
-    )(patches)
-    e3 = np.array_equal(np.asarray(gbits), np.asarray(rbits))
-    e3 = e3 and np.array_equal(np.asarray(gvalid), np.asarray(rvalid))
     ids_r, _ = d.find_nearest_bits(np.asarray(gbits[0, 0]))
     e3 = e3 and 9 in np.asarray(ids_r)
+    print(f"fused decode: {n_tie} tie-divergent noise levels "
+          f"(all tie-close)" if e3 else "", flush=True)
     print(
         f"warp l1-direct==canvas: {e1}; vs MXU oracle<2.5: {e2}; "
         f"fused decode==XLA: {e3}",
