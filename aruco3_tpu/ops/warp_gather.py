@@ -286,12 +286,20 @@ def warp_gather_eval(
                 # ---- fused decode epilogue (all G windows' samples are
                 # in the VMEM out block) ----
                 sm = out_ref[...]  # (G, s2p) f32
-                in_img = (
-                    jax.lax.broadcasted_iota(jnp.int32, (1, s2p), 1)
-                    < decode_n
-                )  # (1, s2p)
-                vals = jnp.clip(jnp.round(sm), 0.0, 255.0).astype(
-                    jnp.int32
+                # Padding lanes get value 256: outside every hi-nibble,
+                # so they vanish from the histogram without an i1
+                # broadcast AND (whose (1,s2p)x(16,s2p) relayout Mosaic
+                # rejects).
+                pad = (
+                    jax.lax.broadcasted_iota(jnp.int32, (_G, s2p), 1)
+                    >= decode_n
+                )
+                vals = jnp.where(
+                    pad,
+                    256,
+                    jnp.clip(jnp.round(sm), 0.0, 255.0).astype(
+                        jnp.int32
+                    ),
                 )
                 nib16 = jax.lax.broadcasted_iota(
                     jnp.int32, (16, s2p), 0
@@ -313,47 +321,59 @@ def warp_gather_eval(
                 # passed), so every operand is explicitly split into
                 # <128 chunks (bf16-exact) against 0/1 bf16 triangles
                 # with f32 accumulation — integer-exact by construction.
-                tri16 = (lane16 < sub16).astype(jnp.float32).astype(
-                    jnp.bfloat16
-                )
                 t_inc = (sub16 <= lane16).astype(jnp.float32).astype(
                     jnp.bfloat16
                 )
+                # Block-diagonal strict-lower triangle: one matvec
+                # computes all five chunks' exclusive row prefixes.
+                sub80 = jax.lax.broadcasted_iota(jnp.int32, (80, 80), 0)
+                lane80 = jax.lax.broadcasted_iota(
+                    jnp.int32, (80, 80), 1
+                )
+                tri_blk = (
+                    (lane80 < sub80) & (lane80 // 16 == sub80 // 16)
+                ).astype(jnp.float32).astype(jnp.bfloat16)
 
-                def mv_exact(col):
-                    # tri16 @ col for integer-valued col < 2^14.
-                    hi = jnp.floor(col * (1.0 / 128.0))
-                    lo = col - hi * 128.0
-
-                    def mv(c):
-                        return jax.lax.dot_general(
-                            tri16, c.astype(jnp.bfloat16),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-
-                    return 128.0 * mv(hi) + mv(lo)
-
-                def cum_small(x):
-                    # Flattened inclusive prefix for x (16,16) ints<128.
+                def flatcums(w_in, m_in):
+                    """Exact flattened-256-bin inclusive cumsums of the
+                    count histogram (< 2^12) and the value histogram
+                    (< 2^20), via <128 chunks (bf16-exact) against 0/1
+                    bf16 triangles with f32 accumulation: the five
+                    chunks ride ONE stacked (80, 16) lane-prefix matmul
+                    and one block-diagonal hi/lo row-prefix matvec."""
+                    w_hi = jnp.floor(w_in * (1.0 / 128.0))
+                    w_lo = w_in - w_hi * 128.0
+                    t_ = jnp.floor(m_in * (1.0 / 128.0))
+                    c0 = m_in - t_ * 128.0
+                    c2 = jnp.floor(t_ * (1.0 / 128.0))
+                    c1 = t_ - c2 * 128.0
+                    x = jnp.concatenate(
+                        [w_lo, w_hi, c0, c1, c2], axis=0
+                    )  # (80, 16) all ints < 128
                     r = jax.lax.dot_general(
                         x.astype(jnp.bfloat16), t_inc,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )
-                    return r + mv_exact(r[:, 15:16])
+                    )  # stacked inclusive lane prefixes
+                    rt = r[:, 15:16]  # (80, 1) row totals (< 2^11)
+                    rt_hi = jnp.floor(rt * (1.0 / 128.0))
+                    rt_lo = rt - rt_hi * 128.0
 
-                def flatcum_exact(x, chunks):
-                    out = jnp.zeros((16, 16), jnp.float32)
-                    rem = x
-                    scale = 1.0
-                    for _ in range(chunks):
-                        hi = jnp.floor(rem * (1.0 / 128.0))
-                        lo = rem - hi * 128.0
-                        out = out + scale * cum_small(lo)
-                        rem = hi
-                        scale = scale * 128.0
-                    return out
+                    def mv(c):
+                        return jax.lax.dot_general(
+                            tri_blk, c.astype(jnp.bfloat16),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+
+                    cum = r + 128.0 * mv(rt_hi) + mv(rt_lo)
+                    w_ = cum[0:16] + 128.0 * cum[16:32]
+                    m_ = (
+                        cum[32:48]
+                        + 128.0 * cum[48:64]
+                        + 16384.0 * cum[64:80]
+                    )
+                    return w_, m_
                 nf = jnp.float32(decode_n)
                 subg = jax.lax.broadcasted_iota(jnp.int32, (_G, 1), 0)
                 level_col = jnp.zeros((_G, 1), jnp.float32)
@@ -362,21 +382,24 @@ def warp_gather_eval(
                     # 256-bin histogram = <hi one-hot, lo one-hot>
                     # contracted over samples (0/1 entries: bf16-exact;
                     # counts <= decode_n accumulate exactly in f32).
+                    # i1 -> f32 -> bf16 cast chain: a direct i1-cond
+                    # where to bf16 forces an (8,128)->(16,128)-tile i1
+                    # relayout Mosaic can't do.
                     oh_hi = (
-                        ((vg >> 4) == nib16) & in_img
-                    ).astype(jnp.float32).astype(jnp.bfloat16)
-                    oh_lo = ((vg & 15) == nib16).astype(
-                        jnp.float32
-                    ).astype(jnp.bfloat16)
+                        ((vg >> 4) == nib16)
+                        .astype(jnp.float32)
+                        .astype(jnp.bfloat16)
+                    )
+                    oh_lo = (
+                        ((vg & 15) == nib16)
+                        .astype(jnp.float32)
+                        .astype(jnp.bfloat16)
+                    )
                     hist = jax.lax.dot_general(
                         oh_hi, oh_lo, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # (16, 16): hist[h, l] = #pixels valued 16h+l
-                    # Inclusive cumsums over the flattened 256 bins:
-                    # exact chunked matmuls (hist < 2^12: 2 chunks;
-                    # hist*bins < 2^20: 3 chunks).
-                    w_ = flatcum_exact(hist, 2)  # class-0 counts W(t)
-                    m_ = flatcum_exact(hist * bins, 3)  # value sums
+                    w_, m_ = flatcums(hist, hist * bins)
                     # Total value sum as a 0-d reduce (a (1,1) slice of
                     # m_ would need an offset scalar->2D broadcast,
                     # unsupported in Mosaic); exact: integer < 2^24.
