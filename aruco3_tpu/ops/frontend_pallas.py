@@ -433,7 +433,15 @@ def fused_threshold_open_pool(
 
     n_strips = hp // th
     n_cols = wp // tw
-    grid = (b, n_strips, n_cols)
+    # FRAME PAIRING: two frames ride each grid step (one 3-D strip DMA
+    # covers both; every output block gets a leading 2).  The stage's
+    # floor is per-step DMA-issue-bound, not byte-bound (~1.8 ms of
+    # bytes inside a ~4.7 ms measured DMA+write baseline at 1080p
+    # batch-128), so halving the step count attacks the floor without
+    # the padded-rows waste taller strips would add.  Odd/single
+    # batches keep one frame per step.
+    fb = 2 if (b % 2 == 0 and b >= 2) else 1
+    grid = (b // fb, n_strips, n_cols)
     if emit_coarse and not emit_packed:
         raise ValueError("emit_coarse requires emit_packed")
     rp_c, cp_c = coarse_pad_shape(hc, wc)
@@ -558,17 +566,20 @@ def fused_threshold_open_pool(
                 sc = rem % n_cols
                 cp_ = pltpu.make_async_copy(
                     src_hbm.at[
-                        sbi, pl.ds(si * th, tb), pl.ds(sc * tw, twb)
+                        pl.ds(fb * sbi, fb),
+                        pl.ds(si * th, tb),
+                        pl.ds(sc * tw, twb),
                     ],
                     scratch.at[slot_idx],
                     sem.at[slot_idx],
                 )
                 (cp_.wait if wait else cp_.start)()
                 return
-            # Fused canvas: clipped read straight from the raw frame.
-            # One static-shape DMA per (dst-offset, extent) class,
-            # selected by strip index; pure-padding strips have no
-            # class and do nothing (the slot was pre-zeroed).
+            # Fused canvas: clipped read straight from the raw frames
+            # (ONE 3-D DMA covers the step's fb frames).  One
+            # static-shape DMA per (dst-offset, extent) class, selected
+            # by strip index; pure-padding strips have no class and do
+            # nothing (the slot was pre-zeroed).
             for (sd0, sext), sis in classes.items():
                 cond = si == sis[0]
                 for s_ in sis[1:]:
@@ -579,12 +590,15 @@ def fused_threshold_open_pool(
                     s0 = si * th - halo + sd0
                     cp_ = pltpu.make_async_copy(
                         src_hbm.at[
-                            sbi,
+                            pl.ds(fb * sbi, fb),
                             pl.ds(pl.multiple_of(s0, 8), sext),
                             pl.ds(0, w),
                         ],
                         scratch.at[
-                            slot_idx, pl.ds(sd0, sext), pl.ds(halo_c, w)
+                            slot_idx,
+                            pl.ds(0, fb),
+                            pl.ds(sd0, sext),
+                            pl.ds(halo_c, w),
                         ],
                         sem.at[slot_idx],
                     )
@@ -597,17 +611,20 @@ def fused_threshold_open_pool(
             # and the compute only ever write the image band).
             for r0_, r1_ in ranges:
                 z = jnp.zeros((r1_ - r0_, w), jnp.uint8)
+                for sl in range(2):
 
-                @pl.when(slot_idx == 0)
-                def _(z=z, r0_=r0_):
-                    scratch[0, r0_ : r0_ + z.shape[0], halo_c : halo_c + w] = z
-
-                @pl.when(slot_idx == 1)
-                def _(z=z, r0_=r0_):
-                    scratch[1, r0_ : r0_ + z.shape[0], halo_c : halo_c + w] = z
+                    @pl.when(slot_idx == sl)
+                    def _(z=z, r0_=r0_, sl=sl):
+                        for f_ in range(fb):
+                            scratch[
+                                sl,
+                                f_,
+                                r0_ : r0_ + z.shape[0],
+                                halo_c : halo_c + w,
+                            ] = z
 
         def zero_full(slot_idx):
-            z = jnp.zeros((tb, twb), jnp.uint8)
+            z = jnp.zeros((fb, tb, twb), jnp.uint8)
 
             @pl.when(slot_idx == 0)
             def _():
@@ -668,352 +685,357 @@ def fused_threshold_open_pool(
 
         strip_dma(step, slot, wait=True)
 
-        if canvas_ref is not None:
-            canvas_ref[0] = scratch[slot][:th]
+        # Per-frame compute: the step's fb frames share one strip
+        # DMA and one set of output blocks; everything below runs
+        # once per frame writing block row f.
+        for f in range(fb):
 
-        def _stub(x):
-            # Profiling early-out: write every output block from slices
-            # of the last live intermediate (keeps it un-DCE'd and the
-            # HBM write traffic identical to the full kernel).
-            l0 = halo_c
-            xi = x.astype(jnp.float32)
-            if xi.shape[0] < th + 2:  # packed word planes are 8 rows
-                xi = jnp.broadcast_to(xi[0:1], (th + 2, xi.shape[1]))
-            xi = xi[: th + 2, l0 : l0 + tw + 2]
-            if coarse_in_kernel:
-                rowpool_ref[0] = xi[: th // ds, :cp_c].astype(jnp.int32)
-            else:
-                rowpool_ref[0] = (
-                    xi[: th // ds, :tw].astype(jnp.int32).astype(jnp.uint8)
-                )
-            if packed_ref is not None:
-                packed_ref[0] = xi[:th, :tw].astype(jnp.int32).astype(
-                    jnp.uint8 if emit_split else jnp.int16
-                )
-            if near_ref is not None:
-                near_ref[0] = xi[:8, :tw].astype(jnp.int32)
-            if l1_ref is not None:
-                l1_ref[0] = xi[: th // 2, : tw // 2].astype(jnp.bfloat16)
-            if black_ref is not None:
-                black_ref[0] = (
-                    xi[:th, :tw].astype(jnp.int32).astype(jnp.uint8)
-                )
+            if canvas_ref is not None:
+                canvas_ref[f] = scratch[slot, f][:th]
 
-        if _stop_after == "dma":
-            _stub(scratch[slot].astype(jnp.int32))
-            return
-
-        # f32 arithmetic throughout: every value here is an integer
-        # < 2^24 (box sums <= 255*(2w+1)^2), so f32 is exact — and the
-        # VPU is f32-native (int32 vector multiplies are emulated).
-        g = scratch[slot].astype(jnp.int32).astype(jnp.float32)
-        if _stop_after == "cast":
-            _stub(g)
-            return
-
-        def roll(a, shift, axis):
-            n = a.shape[axis]
-            return pltpu.roll(a, shift % n, axis=axis)
-
-        # --- clamped box sums (zero padding makes plain sums exact) ---
-        # Column direction: width (2*window+1) CENTRED sliding sum as a
-        # banded Toeplitz matmul on the MXU.  Lane-direction sliding sums
-        # were the kernel's single priciest VPU block (~13 plane-ops of
-        # rolls+adds); as 128-lane output blocks contracted against one
-        # shared (256, 128) 0/1 band they ride the otherwise-idle MXU.
-        # Exact: g <= 255 is bf16-representable, the band is 0/1, and the
-        # f32 accumulation of <= 2*window+1 terms <= 3825 is integer-exact
-        # at any summation order.  Interior block j contracts the
-        # 128-aligned input lanes [(j-1)*128, (j+2)*128) (384 wide, so the
-        # top lanes' windows never clip) against one shared (384, 128)
-        # band.  Block 0 (lanes [0, 128)) would need negative input lanes:
-        # it is pure halo (the image starts at halo_c >= 128, downstream
-        # masks it to black) and is left zero.  The LAST block clips its
-        # input to the buffer; its lanes >= 128 - window are inexact, but
-        # every lane downstream reads (written region + morphology
-        # context, <= 128 + r2 - halo_c into that block) stays below
-        # 128 - window because halo_c >= window + r2 + 1 by construction.
-        g_bf = g.astype(jnp.bfloat16)
-        nb = twb // 128
-        blocks = [jnp.zeros((tb, 128), jnp.float32)]
-        for j in range(1, nb):
-            kin = 384 if j < nb - 1 else 256
-            blocks.append(
-                jax.lax.dot_general(
-                    g_bf[:, (j - 1) * 128 : (j - 1) * 128 + kin],
-                    band_ref[:kin],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )
-        colsum = jnp.concatenate(blocks, axis=1)
-        if _stop_after == "colsum":
-            _stub(colsum)
-            return
-        r2 = 2 * r + ext
-        nrows = th + 2 * r2
-        # Row direction: sliding sums over the strip buffer; row 0 of the
-        # output corresponds to absolute image row i*th - r2.
-        off = halo - r2 - window  # small non-negative (halo is rounded up)
-        sums = _sliding_sum_rows(colsum, 2 * window + 1, nrows, off)
-        if _stop_after == "rowsum":
-            _stub(sums)
-            return
-
-        # --- counts (closed form, position-dependent at borders) ---
-        # Built from (nrows, 1) x (1, twb) factors: the clip chains run on
-        # thin vectors and only the outer product touches a full plane.
-        row0 = i * th - r2  # absolute image row of sums[0]
-        col0 = c * tw - halo_c  # absolute image col of lane 0
-        rows_abs = row0 + jax.lax.broadcasted_iota(
-            jnp.int32, (nrows, 1), 0
-        )
-        cols_abs = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, twb), 1)
-        crow = (
-            jnp.clip(rows_abs + window, 0, h - 1)
-            - jnp.clip(rows_abs - window, 0, h - 1)
-            + 1
-        )
-        ccol = (
-            jnp.clip(cols_abs + window, 0, w - 1)
-            - jnp.clip(cols_abs - window, 0, w - 1)
-            + 1
-        )
-        rin = (rows_abs >= 0) & (rows_abs < h)  # (nrows, 1) thin
-        cin = (cols_abs >= 0) & (cols_abs < w)  # (1, twb) thin
-
-        gmid = g[halo - r2 : halo - r2 + nrows]
-        area = crow.astype(jnp.float32) * ccol.astype(jnp.float32)
-        # Masks as f32 0/1 (Mosaic can't rotate sub-32-bit vectors; f32
-        # min/max double as and/or).  black == NOT(white AND inside),
-        # fused into one select over thin-vector broadcasts; inside_i is
-        # the outer product of the thin factors (one full-plane op).
-        black = jnp.where(
-            (gmid * area >= sums) & rin & cin, 0.0, 1.0
-        )
-        inside_i = rin.astype(jnp.float32) * cin.astype(jnp.float32)
-        if _stop_after == "black":
-            _stub(black * inside_i)
-            return
-
-        # --- opening + near plane as SEPARABLE min/max windows.
-        # r rounds of 3x3 erosion == one (2r+1)-square erosion; likewise
-        # dilation.  Boundary semantics match segment.open_mask: the
-        # erosion sees black outside the image; the eroded mask is
-        # cleared outside the image before any dilation.
-        we = 2 * r + 1
-        w9 = 2 * (r + ext) + 1
-        lane0 = halo_c
-        if emit_packed:
-            # BIT-PACKED morphology: the mask planes are packed 32 rows
-            # per int32 word (two MXU matmuls against power-of-two
-            # weights, f32-exact per 16-bit half), so every erosion/
-            # dilation partial is a bitwise shift/AND/OR on a (8, twb)
-            # word plane — 1/32 the rows of the f32 full-plane version.
-            # Only the two consumed products are rebuilt at full rows:
-            # the near plane via a one-hot selector matmul over the
-            # log-halving unpack, and the ds-row pool counts via a
-            # ds-hot selector matmul over the opened bits (counts <= ds
-            # are f32/bf16-exact).  Row bookkeeping: black-plane row t
-            # packs to bit t; a w-wide AND/OR window built from forward
-            # shifts lands at its STARTING bit, so centred results sit
-            # at a fixed negative offset which the selector matrices
-            # bake in (derivation in the host-code comment below).
-            AND, OR = jnp.bitwise_and, jnp.bitwise_or
-            blk_bf = black.astype(jnp.bfloat16)
-            ins_bf = inside_i.astype(jnp.bfloat16)
-
-            def pack_words(plane_bf):
-                pw = jax.lax.dot_general(
-                    wpack_ref[...],
-                    plane_bf,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (16, twb): rows 0-7 = low 16 bits, 8-15 = high
-                return pw[:8].astype(jnp.int32) | (
-                    pw[8:16].astype(jnp.int32) << 16
-                )
-
-            blackw = pack_words(blk_bf)
-            insw = pack_words(ins_bf)
-            if _stop_after == "pack":
-                _stub(blackw + insw)
-                return
-            if r:
-                erw = _win_bits(blackw, (we,), AND)[we]
-                erw = _win_lanes_multi(erw, (we,), AND, roll)[we]
-                erow = AND(erw, _bits_rsh(insw, r))
-            else:
-                erow = AND(blackw, insw)
-            lanw = _win_lanes_multi(erow, (we, w9), OR, roll)
-            opw = AND(
-                _win_bits(lanw[we], (we,), OR)[we],
-                _bits_rsh(insw, 2 * r),
-            )
-            nearw = AND(
-                _win_bits(lanw[w9], (w9,), OR)[w9],
-                _bits_rsh(insw, r2),
-            )
-            if _stop_after == "morph":
-                _stub(opw + nearw)
-                return
-            if pair_pool:
-                # Even ds + even bit offset: the pool's bit ranges are
-                # 2-aligned, so stop the unpack at 2-bit fields (its
-                # biggest level skipped), pool their popcounts, and
-                # slice to the output lanes first (128-aligned, so the
-                # shrink is free).  Counts are integers <= ds: bf16
-                # inputs {0,1,2} and f32 accumulation stay exact.
-                pr = _unpack_bits_pairs(opw[:, lane0 : lane0 + tw])
-                s_open = (
-                    ((pr & 1) + (pr >> 1))
-                    .astype(jnp.float32)
-                    .astype(jnp.bfloat16)
-                )
-            else:
-                s_open = (
-                    _unpack_bits_halving(opw)
-                    .astype(jnp.float32)
-                    .astype(jnp.bfloat16)
-                )
-            rowpool = jax.lax.dot_general(
-                vsel_ref[...],
-                s_open,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (th // ds, tw|twb) exact black counts per ds-row group
-            gm = gmid[r2:-r2] if r2 else gmid
-            if emit_split:
-                # SPLIT outputs: the u8 image-masked grey plane (unless
-                # the caller reads the RAW frame downstream and dropped
-                # it — emit_split_grey=False) and the near mask still
-                # bit-packed (bit t of word row t//32 = image row
-                # strip_base + t; nearw's bit t is exactly that — see
-                # the host-code comment on usel).  Word rows >= th//32
-                # carry the halo's view of the NEXT strip's rows (that
-                # strip writes them itself) — zeroed here.
-                if packed_ref is not None:
-                    packed_ref[0] = (
-                        (gm * inside_i[r2:-r2])[:, lane0 : lane0 + tw]
-                        .astype(jnp.int32)
-                        .astype(jnp.uint8)
+            def _stub(x):
+                # Profiling early-out: write every output block from slices
+                # of the last live intermediate (keeps it un-DCE'd and the
+                # HBM write traffic identical to the full kernel).
+                l0 = halo_c
+                xi = x.astype(jnp.float32)
+                if xi.shape[0] < th + 2:  # packed word planes are 8 rows
+                    xi = jnp.broadcast_to(xi[0:1], (th + 2, xi.shape[1]))
+                xi = xi[: th + 2, l0 : l0 + tw + 2]
+                if coarse_in_kernel:
+                    rowpool_ref[f] = xi[: th // ds, :cp_c].astype(jnp.int32)
+                else:
+                    rowpool_ref[f] = (
+                        xi[: th // ds, :tw].astype(jnp.int32).astype(jnp.uint8)
                     )
-                wrow = jax.lax.broadcasted_iota(jnp.int32, (8, tw), 0)
-                near_ref[0] = jnp.where(
-                    wrow < th // 32, nearw[:, lane0 : lane0 + tw], 0
+                if packed_ref is not None:
+                    packed_ref[f] = xi[:th, :tw].astype(jnp.int32).astype(
+                        jnp.uint8 if emit_split else jnp.int16
+                    )
+                if near_ref is not None:
+                    near_ref[f] = xi[:8, :tw].astype(jnp.int32)
+                if l1_ref is not None:
+                    l1_ref[f] = xi[: th // 2, : tw // 2].astype(jnp.bfloat16)
+                if black_ref is not None:
+                    black_ref[f] = (
+                        xi[:th, :tw].astype(jnp.int32).astype(jnp.uint8)
+                    )
+
+            if _stop_after == "dma":
+                _stub(scratch[slot, f].astype(jnp.int32))
+                continue
+
+            # f32 arithmetic throughout: every value here is an integer
+            # < 2^24 (box sums <= 255*(2w+1)^2), so f32 is exact — and the
+            # VPU is f32-native (int32 vector multiplies are emulated).
+            g = scratch[slot, f].astype(jnp.int32).astype(jnp.float32)
+            if _stop_after == "cast":
+                _stub(g)
+                continue
+
+            def roll(a, shift, axis):
+                n = a.shape[axis]
+                return pltpu.roll(a, shift % n, axis=axis)
+
+            # --- clamped box sums (zero padding makes plain sums exact) ---
+            # Column direction: width (2*window+1) CENTRED sliding sum as a
+            # banded Toeplitz matmul on the MXU.  Lane-direction sliding sums
+            # were the kernel's single priciest VPU block (~13 plane-ops of
+            # rolls+adds); as 128-lane output blocks contracted against one
+            # shared (256, 128) 0/1 band they ride the otherwise-idle MXU.
+            # Exact: g <= 255 is bf16-representable, the band is 0/1, and the
+            # f32 accumulation of <= 2*window+1 terms <= 3825 is integer-exact
+            # at any summation order.  Interior block j contracts the
+            # 128-aligned input lanes [(j-1)*128, (j+2)*128) (384 wide, so the
+            # top lanes' windows never clip) against one shared (384, 128)
+            # band.  Block 0 (lanes [0, 128)) would need negative input lanes:
+            # it is pure halo (the image starts at halo_c >= 128, downstream
+            # masks it to black) and is left zero.  The LAST block clips its
+            # input to the buffer; its lanes >= 128 - window are inexact, but
+            # every lane downstream reads (written region + morphology
+            # context, <= 128 + r2 - halo_c into that block) stays below
+            # 128 - window because halo_c >= window + r2 + 1 by construction.
+            g_bf = g.astype(jnp.bfloat16)
+            nb = twb // 128
+            blocks = [jnp.zeros((tb, 128), jnp.float32)]
+            for j in range(1, nb):
+                kin = 384 if j < nb - 1 else 256
+                blocks.append(
+                    jax.lax.dot_general(
+                        g_bf[:, (j - 1) * 128 : (j - 1) * 128 + kin],
+                        band_ref[:kin],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
                 )
-            else:
-                s_near = (
-                    _unpack_bits_halving(nearw)
-                    .astype(jnp.float32)
-                    .astype(jnp.bfloat16)
+            colsum = jnp.concatenate(blocks, axis=1)
+            if _stop_after == "colsum":
+                _stub(colsum)
+                continue
+            r2 = 2 * r + ext
+            nrows = th + 2 * r2
+            # Row direction: sliding sums over the strip buffer; row 0 of the
+            # output corresponds to absolute image row i*th - r2.
+            off = halo - r2 - window  # small non-negative (halo is rounded up)
+            sums = _sliding_sum_rows(colsum, 2 * window + 1, nrows, off)
+            if _stop_after == "rowsum":
+                _stub(sums)
+                continue
+
+            # --- counts (closed form, position-dependent at borders) ---
+            # Built from (nrows, 1) x (1, twb) factors: the clip chains run on
+            # thin vectors and only the outer product touches a full plane.
+            row0 = i * th - r2  # absolute image row of sums[0]
+            col0 = c * tw - halo_c  # absolute image col of lane 0
+            rows_abs = row0 + jax.lax.broadcasted_iota(
+                jnp.int32, (nrows, 1), 0
+            )
+            cols_abs = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, twb), 1)
+            crow = (
+                jnp.clip(rows_abs + window, 0, h - 1)
+                - jnp.clip(rows_abs - window, 0, h - 1)
+                + 1
+            )
+            ccol = (
+                jnp.clip(cols_abs + window, 0, w - 1)
+                - jnp.clip(cols_abs - window, 0, w - 1)
+                + 1
+            )
+            rin = (rows_abs >= 0) & (rows_abs < h)  # (nrows, 1) thin
+            cin = (cols_abs >= 0) & (cols_abs < w)  # (1, twb) thin
+
+            gmid = g[halo - r2 : halo - r2 + nrows]
+            area = crow.astype(jnp.float32) * ccol.astype(jnp.float32)
+            # Masks as f32 0/1 (Mosaic can't rotate sub-32-bit vectors; f32
+            # min/max double as and/or).  black == NOT(white AND inside),
+            # fused into one select over thin-vector broadcasts; inside_i is
+            # the outer product of the thin factors (one full-plane op).
+            black = jnp.where(
+                (gmid * area >= sums) & rin & cin, 0.0, 1.0
+            )
+            inside_i = rin.astype(jnp.float32) * cin.astype(jnp.float32)
+            if _stop_after == "black":
+                _stub(black * inside_i)
+                continue
+
+            # --- opening + near plane as SEPARABLE min/max windows.
+            # r rounds of 3x3 erosion == one (2r+1)-square erosion; likewise
+            # dilation.  Boundary semantics match segment.open_mask: the
+            # erosion sees black outside the image; the eroded mask is
+            # cleared outside the image before any dilation.
+            we = 2 * r + 1
+            w9 = 2 * (r + ext) + 1
+            lane0 = halo_c
+            if emit_packed:
+                # BIT-PACKED morphology: the mask planes are packed 32 rows
+                # per int32 word (two MXU matmuls against power-of-two
+                # weights, f32-exact per 16-bit half), so every erosion/
+                # dilation partial is a bitwise shift/AND/OR on a (8, twb)
+                # word plane — 1/32 the rows of the f32 full-plane version.
+                # Only the two consumed products are rebuilt at full rows:
+                # the near plane via a one-hot selector matmul over the
+                # log-halving unpack, and the ds-row pool counts via a
+                # ds-hot selector matmul over the opened bits (counts <= ds
+                # are f32/bf16-exact).  Row bookkeeping: black-plane row t
+                # packs to bit t; a w-wide AND/OR window built from forward
+                # shifts lands at its STARTING bit, so centred results sit
+                # at a fixed negative offset which the selector matrices
+                # bake in (derivation in the host-code comment below).
+                AND, OR = jnp.bitwise_and, jnp.bitwise_or
+                blk_bf = black.astype(jnp.bfloat16)
+                ins_bf = inside_i.astype(jnp.bfloat16)
+
+                def pack_words(plane_bf):
+                    pw = jax.lax.dot_general(
+                        wpack_ref[...],
+                        plane_bf,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (16, twb): rows 0-7 = low 16 bits, 8-15 = high
+                    return pw[:8].astype(jnp.int32) | (
+                        pw[8:16].astype(jnp.int32) << 16
+                    )
+
+                blackw = pack_words(blk_bf)
+                insw = pack_words(ins_bf)
+                if _stop_after == "pack":
+                    _stub(blackw + insw)
+                    continue
+                if r:
+                    erw = _win_bits(blackw, (we,), AND)[we]
+                    erw = _win_lanes_multi(erw, (we,), AND, roll)[we]
+                    erow = AND(erw, _bits_rsh(insw, r))
+                else:
+                    erow = AND(blackw, insw)
+                lanw = _win_lanes_multi(erow, (we, w9), OR, roll)
+                opw = AND(
+                    _win_bits(lanw[we], (we,), OR)[we],
+                    _bits_rsh(insw, 2 * r),
                 )
-                near_full = jax.lax.dot_general(
-                    usel_ref[...],
-                    s_near,
+                nearw = AND(
+                    _win_bits(lanw[w9], (w9,), OR)[w9],
+                    _bits_rsh(insw, r2),
+                )
+                if _stop_after == "morph":
+                    _stub(opw + nearw)
+                    continue
+                if pair_pool:
+                    # Even ds + even bit offset: the pool's bit ranges are
+                    # 2-aligned, so stop the unpack at 2-bit fields (its
+                    # biggest level skipped), pool their popcounts, and
+                    # slice to the output lanes first (128-aligned, so the
+                    # shrink is free).  Counts are integers <= ds: bf16
+                    # inputs {0,1,2} and f32 accumulation stay exact.
+                    pr = _unpack_bits_pairs(opw[:, lane0 : lane0 + tw])
+                    s_open = (
+                        ((pr & 1) + (pr >> 1))
+                        .astype(jnp.float32)
+                        .astype(jnp.bfloat16)
+                    )
+                else:
+                    s_open = (
+                        _unpack_bits_halving(opw)
+                        .astype(jnp.float32)
+                        .astype(jnp.bfloat16)
+                    )
+                rowpool = jax.lax.dot_general(
+                    vsel_ref[...],
+                    s_open,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # (th, twb) 0/1
-                # The batched detector never reads the full-res black
-                # mask (the packed plane replaces it) — skip its
-                # cast+write.  int16 (values <= 511 = grey | near<<8)
-                # halves the write traffic of the pipeline's largest
-                # intermediate.
-                packed = (gm + near_full * 256.0) * inside_i[r2:-r2]
-                packed_ref[0] = (
-                    packed[:, lane0 : lane0 + tw]
+                )  # (th // ds, tw|twb) exact black counts per ds-row group
+                gm = gmid[r2:-r2] if r2 else gmid
+                if emit_split:
+                    # SPLIT outputs: the u8 image-masked grey plane (unless
+                    # the caller reads the RAW frame downstream and dropped
+                    # it — emit_split_grey=False) and the near mask still
+                    # bit-packed (bit t of word row t//32 = image row
+                    # strip_base + t; nearw's bit t is exactly that — see
+                    # the host-code comment on usel).  Word rows >= th//32
+                    # carry the halo's view of the NEXT strip's rows (that
+                    # strip writes them itself) — zeroed here.
+                    if packed_ref is not None:
+                        packed_ref[f] = (
+                            (gm * inside_i[r2:-r2])[:, lane0 : lane0 + tw]
+                            .astype(jnp.int32)
+                            .astype(jnp.uint8)
+                        )
+                    wrow = jax.lax.broadcasted_iota(jnp.int32, (8, tw), 0)
+                    near_ref[f] = jnp.where(
+                        wrow < th // 32, nearw[:, lane0 : lane0 + tw], 0
+                    )
+                else:
+                    s_near = (
+                        _unpack_bits_halving(nearw)
+                        .astype(jnp.float32)
+                        .astype(jnp.bfloat16)
+                    )
+                    near_full = jax.lax.dot_general(
+                        usel_ref[...],
+                        s_near,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (th, twb) 0/1
+                    # The batched detector never reads the full-res black
+                    # mask (the packed plane replaces it) — skip its
+                    # cast+write.  int16 (values <= 511 = grey | near<<8)
+                    # halves the write traffic of the pipeline's largest
+                    # intermediate.
+                    packed = (gm + near_full * 256.0) * inside_i[r2:-r2]
+                    packed_ref[f] = (
+                        packed[:, lane0 : lane0 + tw]
+                        .astype(jnp.int32)
+                        .astype(jnp.int16)
+                    )
+            else:
+                # Full-plane f32 path (black-mask output; ext == 0 here).
+                # Rows use shrinking static slices (sublane rolls on
+                # int32/f32 compile to a pathological Mosaic path), lanes
+                # use rolls; shared power-of-two partials.
+                if r:
+                    er = _win_rows_multi(black, (we,), jnp.minimum)[we]
+                    ero = _win_lanes_multi(er, (we,), jnp.minimum, roll)[we]
+                    ero = ero * inside_i[r:-r]
+                    lan = _win_lanes_multi(ero, (we,), jnp.maximum, roll)[we]
+                    central = _win_rows_multi(lan, (we,), jnp.maximum)[we] * (
+                        inside_i[r2:-r2] if r2 else inside_i
+                    )
+                else:
+                    central = black * inside_i
+                black_ref[f] = (
+                    central[:, lane0 : lane0 + tw]
                     .astype(jnp.int32)
-                    .astype(jnp.int16)
+                    .astype(jnp.uint8)
                 )
-        else:
-            # Full-plane f32 path (black-mask output; ext == 0 here).
-            # Rows use shrinking static slices (sublane rolls on
-            # int32/f32 compile to a pathological Mosaic path), lanes
-            # use rolls; shared power-of-two partials.
-            if r:
-                er = _win_rows_multi(black, (we,), jnp.minimum)[we]
-                ero = _win_lanes_multi(er, (we,), jnp.minimum, roll)[we]
-                ero = ero * inside_i[r:-r]
-                lan = _win_lanes_multi(ero, (we,), jnp.maximum, roll)[we]
-                central = _win_rows_multi(lan, (we,), jnp.maximum)[we] * (
-                    inside_i[r2:-r2] if r2 else inside_i
-                )
-            else:
-                central = black * inside_i
-            black_ref[0] = (
-                central[:, lane0 : lane0 + tw]
-                .astype(jnp.int32)
-                .astype(jnp.uint8)
-            )
 
-        if l1_ref is not None:
-            # Pyramid level 1: bit-identical to build_packed_pyramid's
-            # chain — exact f32 row-pair sums of the bf16 image, bf16
-            # cast, then 0.25-weighted column pairs accumulated in f32,
-            # bf16 cast.  Values beyond the image are zero in the padded
-            # source, matching the XLA path's zero padding.
-            gmbf = (gmid[r2:-r2] if r2 else gmid).astype(jnp.bfloat16)
-            r1 = jax.lax.dot_general(
-                rowpair_ref[...],
-                gmbf,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)  # (th//2, twb)
-            blk = [
-                jax.lax.dot_general(
-                    r1[:, lane0 + jo * 256 : lane0 + (jo + 1) * 256],
-                    colpair_ref[...],
+            if l1_ref is not None:
+                # Pyramid level 1: bit-identical to build_packed_pyramid's
+                # chain — exact f32 row-pair sums of the bf16 image, bf16
+                # cast, then 0.25-weighted column pairs accumulated in f32,
+                # bf16 cast.  Values beyond the image are zero in the padded
+                # source, matching the XLA path's zero padding.
+                gmbf = (gmid[r2:-r2] if r2 else gmid).astype(jnp.bfloat16)
+                r1 = jax.lax.dot_general(
+                    rowpair_ref[...],
+                    gmbf,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)  # (th//2, twb)
+                blk = [
+                    jax.lax.dot_general(
+                        r1[:, lane0 + jo * 256 : lane0 + (jo + 1) * 256],
+                        colpair_ref[...],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for jo in range(tw // 256)
+                ]
+                l1_ref[f] = jnp.concatenate(blk, axis=1).astype(jnp.bfloat16)
+
+            # --- row pooling; column pooling is a tiny XLA op outside the
+            # kernel.  Packed path: the ds-hot selector matmul above already
+            # produced the counts; else a sublane reshape-sum of the mask.
+            if not emit_packed:
+                rowpool = (
+                    central[:, lane0 : lane0 + tw]
+                    .reshape(th // ds, ds, tw)
+                    .sum(axis=1)
+                )
+            elif not pair_pool:  # pair_pool already pooled output lanes only
+                rowpool = rowpool[:, lane0 : lane0 + tw]
+            if coarse_in_kernel:
+                # ds-column pooling + threshold IN-KERNEL: one MXU matmul
+                # against the ds-hot column selector (per-row counts <= ds
+                # are bf16-exact integers, sums <= ds^2 f32-exact), then
+                # the pool_black compare.  Emits the label kernel's pre-
+                # padded plane rows directly: cells at [:hc, :wc], zeros
+                # beyond (padding lanes/cells carry zero counts so the
+                # compare is False; zero-padding image rows pool to 0).
+                cpool = jax.lax.dot_general(
+                    rowpool.astype(jnp.bfloat16),
+                    csel_ref[...],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                for jo in range(tw // 256)
-            ]
-            l1_ref[0] = jnp.concatenate(blk, axis=1).astype(jnp.bfloat16)
-
-        # --- row pooling; column pooling is a tiny XLA op outside the
-        # kernel.  Packed path: the ds-hot selector matmul above already
-        # produced the counts; else a sublane reshape-sum of the mask.
-        if not emit_packed:
-            rowpool = (
-                central[:, lane0 : lane0 + tw]
-                .reshape(th // ds, ds, tw)
-                .sum(axis=1)
-            )
-        elif not pair_pool:  # pair_pool already pooled output lanes only
-            rowpool = rowpool[:, lane0 : lane0 + tw]
-        if coarse_in_kernel:
-            # ds-column pooling + threshold IN-KERNEL: one MXU matmul
-            # against the ds-hot column selector (per-row counts <= ds
-            # are bf16-exact integers, sums <= ds^2 f32-exact), then
-            # the pool_black compare.  Emits the label kernel's pre-
-            # padded plane rows directly: cells at [:hc, :wc], zeros
-            # beyond (padding lanes/cells carry zero counts so the
-            # compare is False; zero-padding image rows pool to 0).
-            cpool = jax.lax.dot_general(
-                rowpool.astype(jnp.bfloat16),
-                csel_ref[...],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            rowpool_ref[0] = (cpool * 2 >= max(ds, 2)).astype(jnp.int32)
-        else:
-            rowpool_ref[0] = rowpool.astype(jnp.int32).astype(jnp.uint8)
+                rowpool_ref[f] = (cpool * 2 >= max(ds, 2)).astype(jnp.int32)
+            else:
+                rowpool_ref[f] = rowpool.astype(jnp.int32).astype(jnp.uint8)
 
     tile_spec = pl.BlockSpec(
-        (1, th, tw), lambda bi, i, c: (bi, i, c), memory_space=pltpu.VMEM
+        (fb, th, tw), lambda bi, i, c: (bi, i, c), memory_space=pltpu.VMEM
     )
     if coarse_in_kernel:
         # First output = the pre-padded coarse plane (i32 0/1): one
         # (th//ds, cp_c) block per strip, cells at [:hc, :wc].
         pool_spec = pl.BlockSpec(
-            (1, th // ds, cp_c),
+            (fb, th // ds, cp_c),
             lambda bi, i, c: (bi, i, 0),
             memory_space=pltpu.VMEM,
         )
         pool_shape = jax.ShapeDtypeStruct((b, hp // ds, cp_c), jnp.int32)
     else:
         pool_spec = pl.BlockSpec(
-            (1, th // ds, tw),
+            (fb, th // ds, tw),
             lambda bi, i, c: (bi, i, c),
             memory_space=pltpu.VMEM,
         )
@@ -1036,7 +1058,7 @@ def fused_threshold_open_pool(
             # of each block are zero).
             out_specs.append(
                 pl.BlockSpec(
-                    (1, 8, tw),
+                    (fb, 8, tw),
                     lambda bi, i, c: (bi, i, c),
                     memory_space=pltpu.VMEM,
                 )
@@ -1047,7 +1069,7 @@ def fused_threshold_open_pool(
         if emit_level1:
             out_specs.append(
                 pl.BlockSpec(
-                    (1, th // 2, tw // 2),
+                    (fb, th // 2, tw // 2),
                     lambda bi, i, c: (bi, i, c),
                     memory_space=pltpu.VMEM,
                 )
@@ -1058,7 +1080,7 @@ def fused_threshold_open_pool(
         if fuse_canvas:
             out_specs.append(
                 pl.BlockSpec(
-                    (1, th, twb),
+                    (fb, th, twb),
                     lambda bi, i, c: (bi, i, 0),
                     memory_space=pltpu.VMEM,
                 )
@@ -1204,7 +1226,7 @@ def fused_threshold_open_pool(
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((2, tb, twb), jnp.uint8),
+            pltpu.VMEM((2, fb, tb, twb), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
