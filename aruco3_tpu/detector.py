@@ -605,13 +605,26 @@ def _match_tail(
     # Dictionary match across 4 rotations in one MXU matmul.
     ids_r, dists_r = dictionary.find_nearest_bits(bits)  # (K, 4) each
     rot = jnp.argmin(dists_r, axis=-1).astype(jnp.int32)  # first-min wins
-    take = lambda a: jnp.take_along_axis(a, rot[:, None], axis=1)[:, 0]  # noqa: E731
+
+    # Rotation selection as 4-way selects: take_along_axis lowers to
+    # serialized gathers on TPU (the pose/glue stage's dominant cost at
+    # batch 128); a static 4-term select chain is pure VPU.
+    def take(a):
+        return sum(
+            jnp.where(rot == r, a[:, r], 0) for r in range(4)
+        )
+
     best_id = take(ids_r)
     best_dist = take(dists_r)
     code_pairs_r = rectify.bits_to_u32_pairs(bits)  # (K, 4, 2)
-    best_code = jnp.take_along_axis(
-        code_pairs_r, rot[:, None, None], axis=1
-    )[:, 0]
+    best_code = sum(
+        jnp.where(
+            (rot == r)[:, None],
+            code_pairs_r[:, r],
+            jnp.zeros_like(code_pairs_r[:, r]),
+        )
+        for r in range(4)
+    )
 
     accept = quad_valid & h_valid & border_valid
     tau_ok = best_dist < dictionary.tau
@@ -627,12 +640,15 @@ def _match_tail(
     )
     stats["markers"] = count(accept)
 
-    # corners.rotate_left(min_rotation) (reference aruco.rs:97-103).
-    k = quads.shape[0]
-    base = jnp.arange(4, dtype=jnp.int32)[None, :]
-    perm = (base + rot[:, None]) % 4
-    corners_rot = jnp.take_along_axis(
-        quads, perm[..., None].astype(jnp.int32), axis=1
+    # corners.rotate_left(min_rotation) (reference aruco.rs:97-103) as
+    # a 4-way select over static rolls (gather-free).
+    corners_rot = sum(
+        jnp.where(
+            (rot == r)[:, None, None],
+            jnp.roll(quads, -r, axis=1),
+            0.0,
+        )
+        for r in range(4)
     )
 
     return {

@@ -143,27 +143,52 @@ def make_prefix(upto, dictionary, cfg, params, min_edge, min_sep, ds, h, w):
             )
             acc.append(jnp.sum(canvas[:, 128:160, :256].astype(jnp.float32)))
         if upto >= 8:
-            patches = rectify.warp_patches_dma(
+            # Production configuration: decode FUSED into the warp
+            # kernel epilogue (stage 9 then runs only the rotation/
+            # border/codebook tail on the emitted cell grids).
+            mark_size = dictionary.get_mark_size()
+            fuse_mark = (
+                mark_size if mark_size * mark_size <= 128 else 0
+            )
+            warped = rectify.warp_patches_dma(
                 canvas, offsets, shapes, H, quads, s, valid=valid & h_valid,
                 src=packed, src_halo=(0, 0), image_hw=(h, w),
                 l1_plane=level1 if l1_ok else None, raw_src=raw_src,
+                fuse_decode_mark=fuse_mark,
             )
+            patches, grids = warped if fuse_mark else (warped, None)
             acc.append(jnp.sum(patches))
         if upto >= 9:
-            def match(p):
+            def match(p, g):
                 mark_size = dictionary.get_mark_size()
-                bits, border_valid = rectify.decode_patches(p, mark_size)
+                if g is not None:
+                    bits, border_valid = rectify.decode_grids(
+                        g, mark_size
+                    )
+                else:
+                    bits, border_valid = rectify.decode_patches(
+                        p, mark_size
+                    )
                 ids_r, dists_r = dictionary.find_nearest_bits(bits)
                 rot = jnp.argmin(dists_r, axis=-1).astype(jnp.int32)
                 return jnp.sum(ids_r) + jnp.sum(rot), rot
 
-            r = jax.vmap(match)(patches)
+            if grids is not None:
+                r = jax.vmap(lambda p, g: match(p, g))(patches, grids)
+            else:
+                r = jax.vmap(lambda p: match(p, None))(patches)
             acc.append(jnp.sum(r[0]))
             rot = r[1]
         if upto >= 10:
-            base = jnp.arange(4, dtype=jnp.int32)[None, None, :]
-            perm = (base + rot[:, :, None]) % 4
-            corners_rot = jnp.take_along_axis(quads, perm[..., None], axis=2)
+            # Gather-free rotation select (matches detector._match_tail).
+            corners_rot = sum(
+                jnp.where(
+                    (rot == r)[:, :, None, None],
+                    jnp.roll(quads, -r, axis=2),
+                    0.0,
+                )
+                for r in range(4)
+            )
             norm = corners_rot / jnp.array(
                 [float(w), float(h)], dtype=jnp.float32
             )
